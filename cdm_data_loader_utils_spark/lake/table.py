@@ -1,0 +1,645 @@
+"""A minimal transactional lake-table format built from scratch on PySpark.
+
+The reference writes Delta tables and relies on the Delta log for MERGE,
+schema-merge-on-append, history-based commit checks, OPTIMIZE and VACUUM
+(``/root/reference/src/cdm_data_loader_utils/utils/spark_delta.py:135-224``,
+``audit/checkpoint.py:42-60``, ``audit/run.py:27-30``,
+``parsers/refseq_pipeline/core/spark_delta.py:95-157``). No Delta/Iceberg jar
+ships in this environment, so this module re-implements the *table format
+itself* from first principles — the same design space as Iceberg v2:
+
+* an append-only **snapshot log** of JSON manifest files under ``_log/``,
+  committed atomically (create-exclusive, optimistic concurrency);
+* immutable **parquet data files** under ``data/``, hash-bucketed by a key
+  column so a CDC MERGE only rewrites the buckets that contain changed keys
+  (copy-on-write, Iceberg-style file-level pruning);
+* **tombstones** (hidden ``__deleted`` flag) so deletes remain visible to
+  late out-of-order events — final state is independent of how events are
+  batched, which is what makes N-core vs 4N-core replays converge;
+* **schema evolution** as metadata: each file remembers the schema it was
+  written with; reads align every file group to the current schema (missing
+  columns become typed nulls, widened columns are cast);
+* **commit fencing**: each commit may carry a fence key
+  (``run_id:batch_id``); replayed micro-batches are skipped — the
+  exactly-once half of the foreachBatch contract.
+
+Scale notes (100 TB / 10^10 events): all data movement is executor-side
+DataFrame work; the driver touches only file *names* (O(files-per-commit)).
+MERGE cost is bounded by the bucket fan-in of the incoming key set, not table
+size. At 1000 executors the bucket count is the knob (``bucket_count`` ≫
+executor count); the snapshot log stays O(commits) and is trivially compacted
+by ``expire_snapshots``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# hidden columns carried in data files but excluded from user reads
+META_LSN = "__lsn"
+META_DELETED = "__deleted"
+_META_COLS = (META_LSN, META_DELETED)
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+# widening lattice for schema evolution (reference analogue: mergeSchema=true
+# appends, utils/spark_delta.py:195-196)
+_WIDEN: dict[tuple[str, str], str] = {
+    ("integer", "long"): "long",
+    ("short", "integer"): "integer",
+    ("short", "long"): "long",
+    ("byte", "short"): "short",
+    ("byte", "integer"): "integer",
+    ("byte", "long"): "long",
+    ("float", "double"): "double",
+    ("integer", "double"): "double",
+    ("long", "double"): "double",
+}
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same snapshot version first."""
+
+
+class SchemaEvolutionError(ValueError):
+    """Incoming schema cannot be reconciled with the table schema."""
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    path: str  # relative to table root
+    bucket: int | None
+    schema_id: int
+    rows: int
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "bucket": self.bucket,
+                "schema_id": self.schema_id, "rows": self.rows}
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(d["path"], d.get("bucket"), d["schema_id"], d.get("rows", -1))
+
+
+def _schema_json(schema: T.StructType) -> str:
+    return schema.json()
+
+
+def _schema_from_json(s: str) -> T.StructType:
+    return T.StructType.fromJson(json.loads(s))
+
+
+class LakeTable:
+    """Versioned, bucketed, MERGE-capable table over parquet + JSON log."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------- creation
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        bucket_by: str | None = None,
+        bucket_count: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        os.makedirs(os.path.join(t.path, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.path, _DATA_DIR), exist_ok=True)
+        if t._latest_version() is not None:
+            raise FileExistsError(f"table already exists at {path}")
+        # nullability is a validated constraint, not a storage property (the
+        # reference re-validates it too — validation/df_nullable_fields.py:17-22)
+        schema = T.StructType(
+            [T.StructField(f.name, f.dataType, nullable=True) for f in schema.fields]
+        )
+        snap = {
+            "snapshot_id": 1,
+            "parent_id": None,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "create",
+            "current_schema_id": 0,
+            "schemas": {"0": _schema_json(schema)},
+            "bucket_by": bucket_by,
+            "bucket_count": bucket_count if bucket_by else None,
+            "files": [],
+            "fences": {},
+            "summary": {},
+            "properties": properties or {},
+        }
+        t._commit(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if t._latest_version() is None:
+            raise FileNotFoundError(f"no lake table at {path}")
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        log = os.path.join(os.path.abspath(path), _LOG_DIR)
+        return os.path.isdir(log) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(log)
+        )
+
+    # ------------------------------------------------------------ log access
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.path, _LOG_DIR, f"v{version:020d}.json")
+
+    def _latest_version(self) -> int | None:
+        log = os.path.join(self.path, _LOG_DIR)
+        if not os.path.isdir(log):
+            return None
+        versions = [
+            int(f[1:-5]) for f in os.listdir(log)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict:
+        v = snapshot_id if snapshot_id is not None else self._latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        with open(self._log_path(v)) as f:
+            return json.load(f)
+
+    @property
+    def snapshot_id(self) -> int:
+        v = self._latest_version()
+        assert v is not None
+        return v
+
+    def history(self) -> list[dict]:
+        log = os.path.join(self.path, _LOG_DIR)
+        out = []
+        for f in sorted(os.listdir(log)):
+            if f.startswith("v") and f.endswith(".json"):
+                with open(os.path.join(log, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def _commit(self, snap: dict) -> int:
+        """Atomic create-exclusive commit — optimistic concurrency control."""
+        target = self._log_path(snap["snapshot_id"])
+        tmp = target + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)  # fails if a concurrent writer won the race
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"snapshot {snap['snapshot_id']} already committed"
+            ) from e
+        finally:
+            os.unlink(tmp)
+        return snap["snapshot_id"]
+
+    # -------------------------------------------------------------- schema
+    def schema(self, snapshot: dict | None = None) -> T.StructType:
+        snap = snapshot or self.snapshot()
+        return _schema_from_json(snap["schemas"][str(snap["current_schema_id"])])
+
+    @property
+    def user_schema(self) -> T.StructType:
+        return T.StructType([f for f in self.schema().fields if f.name not in _META_COLS])
+
+    # --------------------------------------------------------------- reads
+    def read(self, snapshot_id: int | None = None, include_meta: bool = False) -> DataFrame:
+        """Current (or time-travel) state as a DataFrame.
+
+        Files are grouped by the schema they were written with, each group is
+        read with its exact schema, aligned to the current schema (typed-null
+        fill for added columns, cast for widened ones) and unioned. Tombstoned
+        rows are filtered out unless ``include_meta``.
+        """
+        snap = self.snapshot(snapshot_id)
+        cur = self.schema(snap)
+        groups: dict[int, list[str]] = {}
+        for fe in (FileEntry.from_json(d) for d in snap["files"]):
+            groups.setdefault(fe.schema_id, []).append(os.path.join(self.path, fe.path))
+        parts: list[DataFrame] = []
+        for sid, paths in groups.items():
+            file_schema = _schema_from_json(snap["schemas"][str(sid)])
+            df = self.spark.read.schema(file_schema).parquet(*paths)
+            parts.append(_align_to_schema(df, cur))
+        if parts:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = self.spark.createDataFrame([], cur)
+        if not include_meta:
+            has_del = META_DELETED in out.columns
+            if has_del:
+                out = out.filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
+            out = out.drop(*[c for c in _META_COLS if c in out.columns])
+        return out
+
+    def is_fenced(self, fence_key: str) -> int | None:
+        """Snapshot id that already applied ``fence_key``, else None.
+
+        Generalizes the reference's history-based no-double-apply check
+        (``audit/run.py:27-30`` ``_table_not_updated``)."""
+        snap = self.snapshot()
+        v = snap["fences"].get(fence_key)
+        return int(v) if v is not None else None
+
+    # -------------------------------------------------------------- writes
+    def _bucket_expr(self, snap: dict) -> F.Column | None:
+        col = snap.get("bucket_by")
+        if not col:
+            return None
+        n = int(snap["bucket_count"])
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
+
+    def _write_files(self, df: DataFrame, snap: dict, schema_id: int) -> list[FileEntry]:
+        """Write df as immutable parquet files, hash-bucketed if configured.
+
+        Bucket membership is encoded in the file *name* (``b<k>-…``), not in
+        hive-style dirs, so later explicit-file reads never trigger partition
+        inference. Files are recorded in the snapshot with per-file row counts
+        (parquet footer, driver-side metadata only)."""
+        import pyarrow.parquet as pq
+
+        commit_uid = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, _DATA_DIR, f"_staging_{commit_uid}")
+        bucket = self._bucket_expr(snap)
+        if bucket is not None:
+            df.withColumn("__bucket", bucket).write.partitionBy("__bucket").parquet(
+                staging, mode="overwrite"
+            )
+        else:
+            df.write.parquet(staging, mode="overwrite")
+        final_dir = os.path.join(self.path, _DATA_DIR, commit_uid)
+        os.makedirs(final_dir, exist_ok=True)
+        entries: list[FileEntry] = []
+        for root, _dirs, files in os.walk(staging):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fn)
+                b: int | None = None
+                comp = os.path.basename(root)
+                if comp.startswith("__bucket="):
+                    b = int(comp.split("=", 1)[1])
+                dst_name = (f"b{b}-{fn}" if b is not None else fn)
+                dst = os.path.join(final_dir, dst_name)
+                os.rename(src, dst)
+                rows = pq.ParquetFile(dst).metadata.num_rows
+                if rows == 0:
+                    os.unlink(dst)
+                    continue
+                entries.append(
+                    FileEntry(
+                        path=os.path.relpath(dst, self.path),
+                        bucket=b,
+                        schema_id=schema_id,
+                        rows=rows,
+                    )
+                )
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def _next_snap(self, base: dict, operation: str, files: list[FileEntry],
+                   summary: dict | None, fence_key: str | None,
+                   schemas: dict | None = None, current_schema_id: int | None = None) -> dict:
+        snap = {
+            "snapshot_id": base["snapshot_id"] + 1,
+            "parent_id": base["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "current_schema_id": (
+                current_schema_id if current_schema_id is not None else base["current_schema_id"]
+            ),
+            "schemas": schemas if schemas is not None else base["schemas"],
+            "bucket_by": base.get("bucket_by"),
+            "bucket_count": base.get("bucket_count"),
+            "files": [fe.to_json() for fe in files],
+            "fences": dict(base["fences"]),
+            "summary": summary or {},
+            "properties": base.get("properties", {}),
+        }
+        if fence_key is not None:
+            snap["fences"][fence_key] = snap["snapshot_id"]
+        return snap
+
+    def _prepare_write(self, df: DataFrame, snap: dict) -> tuple[DataFrame, dict, int]:
+        """Reconcile incoming schema with the table, evolving if needed.
+
+        Returns (aligned df, possibly-updated schemas map, schema_id used)."""
+        cur_id = snap["current_schema_id"]
+        cur = _schema_from_json(snap["schemas"][str(cur_id)])
+        new_schema, changed = reconcile_schemas(cur, df.schema)
+        schemas = dict(snap["schemas"])
+        if changed:
+            cur_id = max(int(k) for k in schemas) + 1
+            schemas[str(cur_id)] = _schema_json(new_schema)
+        aligned = _align_to_schema(df, new_schema)
+        return aligned, schemas, cur_id
+
+    def append(self, df: DataFrame, summary: dict | None = None,
+               fence_key: str | None = None) -> int:
+        snap = self.snapshot()
+        aligned, schemas, sid = self._prepare_write(df, snap)
+        new_files = self._write_files(aligned, snap, sid)
+        existing = [FileEntry.from_json(d) for d in snap["files"]]
+        nxt = self._next_snap(
+            snap, "append", existing + new_files, summary, fence_key,
+            schemas=schemas, current_schema_id=sid,
+        )
+        nxt["summary"].setdefault("rows_written", sum(fe.rows for fe in new_files))
+        return self._commit(nxt)
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None,
+                  fence_key: str | None = None) -> int:
+        snap = self.snapshot()
+        aligned, schemas, sid = self._prepare_write(df, snap)
+        new_files = self._write_files(aligned, snap, sid)
+        nxt = self._next_snap(
+            snap, "overwrite", new_files, summary, fence_key,
+            schemas=schemas, current_schema_id=sid,
+        )
+        nxt["summary"].setdefault("rows_written", sum(fe.rows for fe in new_files))
+        return self._commit(nxt)
+
+    # ---------------------------------------------------------------- merge
+    def merge_cdc(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+        summary: dict | None = None,
+        fence_key: str | None = None,
+    ) -> int:
+        """CDC MERGE: last-writer-wins upsert/delete, copy-on-write.
+
+        ``source`` must contain exactly one row per key (run
+        :func:`operators.lww.lww_dedup` first), with ``op`` ∈ {i,u,d} and a
+        monotone ``lsn``. Semantics (Iceberg ``MERGE INTO`` equivalent, cf.
+        reference Delta merge ``audit/checkpoint.py:54-60``)::
+
+            WHEN MATCHED  AND s.lsn > t.__lsn THEN  replace payload,
+                                                    __deleted = (op = 'd')
+            WHEN NOT MATCHED                  THEN  insert (tombstone if 'd')
+
+        Deletes persist as tombstones so later-arriving lower-LSN events
+        still lose; physical purge happens in :meth:`compact`.
+
+        Scale: only parquet files whose bucket intersects the incoming key
+        set AND that actually contain a matching key are rewritten; all other
+        files carry forward as metadata. The existence probe and the rewrite
+        are executor-side joins (broadcast when the batch is small).
+        """
+        snap = self.snapshot()
+        table_schema = self.schema(snap)
+        user_fields = [f for f in table_schema.fields if f.name not in _META_COLS]
+
+        # 1. schema evolution from the incoming batch (Arrow-reconciled)
+        src_payload_schema = T.StructType(
+            [f for f in source.schema.fields
+             if f.name not in (op_col, lsn_col, "batch_id")]
+        )
+        new_user_schema, changed = reconcile_schemas(
+            T.StructType(user_fields), src_payload_schema
+        )
+        schemas = dict(snap["schemas"])
+        sid = snap["current_schema_id"]
+        full_schema = T.StructType(
+            list(new_user_schema.fields)
+            + [T.StructField(META_LSN, T.LongType()), T.StructField(META_DELETED, T.BooleanType())]
+        )
+        if changed or META_LSN not in [f.name for f in table_schema.fields]:
+            sid = max(int(k) for k in schemas) + 1
+            schemas[str(sid)] = _schema_json(full_schema)
+
+        # 2. normalize source: payload aligned to user schema + meta cols
+        src = source
+        for f in new_user_schema.fields:
+            if f.name not in src.columns:
+                src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+        src = src.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in new_user_schema.fields],
+            F.col(lsn_col).cast("long").alias(META_LSN),
+            (F.col(op_col) == F.lit("d")).alias(META_DELETED),
+        )
+
+        existing = [FileEntry.from_json(d) for d in snap["files"]]
+
+        # 3. bucket pruning: which buckets does the batch touch?
+        bucket = self._bucket_expr(snap)
+        candidates: list[FileEntry]
+        if bucket is not None and existing and all(fe.bucket is not None for fe in existing):
+            touched = {
+                r[0]
+                for r in src.select(bucket.alias("b")).distinct().collect()
+            }
+            candidates = [fe for fe in existing if fe.bucket in touched]
+        else:
+            candidates = list(existing)
+        carried = [fe for fe in existing if fe not in candidates]
+
+        # 4. file-level existence probe: keep candidate files with no matching
+        #    key as carry-forward metadata (no rewrite)
+        rewritten_files: list[FileEntry] = []
+        affected: list[FileEntry] = []
+        if candidates:
+            from urllib.parse import urlparse
+
+            tgt = self._read_files(snap, candidates, with_file_col=True)
+            keyed_src = src.select(*key_cols).distinct()
+            hit_files = {
+                os.path.relpath(urlparse(r[0]).path, self.path)
+                for r in tgt.join(F.broadcast(keyed_src), on=key_cols, how="leftsemi")
+                .select("__file")
+                .distinct()
+                .collect()
+            }
+            affected = [fe for fe in candidates if fe.path in hit_files]
+            carried += [fe for fe in candidates if fe.path not in hit_files]
+        # 5. rewrite affected files merged with source
+        if affected:
+            tgt_rows = self._read_files(snap, affected, with_file_col=False)
+            tgt_rows = _align_to_schema(tgt_rows, full_schema)
+            s = src.alias("s")
+            t = tgt_rows.alias("t")
+            joined = t.join(s, on=key_cols, how="full_outer")
+            s_lsn, t_lsn = F.col(f"s.{META_LSN}"), F.col(f"t.{META_LSN}")
+            take_src = s_lsn.isNotNull() & (t_lsn.isNull() | (s_lsn > t_lsn))
+            merged = joined.select(
+                *[
+                    F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
+                    for k in key_cols
+                ],
+                *[
+                    F.when(take_src, F.col(f"s.{f.name}"))
+                    .otherwise(F.col(f"t.{f.name}"))
+                    .alias(f.name)
+                    for f in new_user_schema.fields
+                    if f.name not in key_cols
+                ],
+                F.when(take_src, s_lsn).otherwise(t_lsn).alias(META_LSN),
+                F.when(take_src, F.col(f"s.{META_DELETED}"))
+                .otherwise(F.col(f"t.{META_DELETED}"))
+                .alias(META_DELETED),
+            )
+            merged = _align_to_schema(merged, full_schema)
+            # the full-outer join already carries source-only rows (brand-new
+            # keys), so this single write covers updates, deletes AND inserts
+            rewritten_files += self._write_files(merged, snap, sid)
+            ins_files: list[FileEntry] = []
+        else:
+            # no existing file contains any incoming key (carried files were
+            # existence-probed with no hit or live in untouched buckets):
+            # everything is an insert
+            ins_files = self._write_files(_align_to_schema(src, full_schema), snap, sid)
+
+        all_files = carried + rewritten_files + ins_files
+        nxt = self._next_snap(
+            snap, "merge", all_files, summary, fence_key,
+            schemas=schemas, current_schema_id=sid,
+        )
+        nxt["summary"].setdefault("files_rewritten", len(affected))
+        nxt["summary"].setdefault("files_added", len(rewritten_files) + len(ins_files))
+        return self._commit(nxt)
+
+    def _read_files(self, snap: dict, entries: list[FileEntry], with_file_col: bool) -> DataFrame:
+        cur = self.schema(snap)
+        groups: dict[int, list[str]] = {}
+        for fe in entries:
+            groups.setdefault(fe.schema_id, []).append(os.path.join(self.path, fe.path))
+        parts = []
+        for sid, paths in groups.items():
+            fs = _schema_from_json(snap["schemas"][str(sid)])
+            df = self.spark.read.schema(fs).parquet(*paths)
+            if with_file_col:
+                df = df.withColumn("__file", F.input_file_name())
+            target = cur if not with_file_col else T.StructType(
+                list(cur.fields) + [T.StructField("__file", T.StringType())]
+            )
+            parts.append(_align_to_schema(df, target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------------------------------------------------------- maintenance
+    def compact(self, purge_tombstones_below_lsn: int | None = None,
+                target_files_per_bucket: int = 1) -> int:
+        """Rewrite data into dense files (reference OPTIMIZE ZORDER analogue,
+        ``core/spark_delta.py:144-150``); optionally purge tombstones whose
+        LSN is below the out-of-order watermark (safe physical delete)."""
+        snap = self.snapshot()
+        df = self.read(include_meta=True)
+        if purge_tombstones_below_lsn is not None and META_DELETED in df.columns:
+            df = df.filter(
+                ~(F.coalesce(F.col(META_DELETED), F.lit(False))
+                  & (F.col(META_LSN) < F.lit(purge_tombstones_below_lsn)))
+            )
+        sid = snap["current_schema_id"]
+        bucket = self._bucket_expr(snap)
+        if bucket is not None:
+            df = df.repartition(
+                max(1, int(snap["bucket_count"]) * target_files_per_bucket // 1), bucket
+            )
+        new_files = self._write_files(_align_to_schema(df, self.schema(snap)), snap, sid)
+        nxt = self._next_snap(snap, "compact", new_files, {"compacted": True}, None)
+        return self._commit(nxt)
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop old snapshot JSONs and unreferenced data files (reference
+        VACUUM analogue, ``core/spark_delta.py:152-157``)."""
+        log = os.path.join(self.path, _LOG_DIR)
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(log)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        keep = set(versions[-keep_last:])
+        live: set[str] = set()
+        for v in keep:
+            snap = self.snapshot(v)
+            live |= {d["path"] for d in snap["files"]}
+        removed = 0
+        for v in versions:
+            if v not in keep:
+                os.unlink(self._log_path(v))
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for root, _dirs, files in os.walk(data_root):
+            for fn in files:
+                p = os.path.join(root, fn)
+                if os.path.relpath(p, self.path) not in live:
+                    os.unlink(p)
+                    removed += 1
+        return removed
+
+
+def _align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project/cast df onto schema, adding missing columns as typed nulls.
+
+    Reference analogue: ``cast_df_to_schema``
+    (``parsers/refseq_pipeline/cli/fetch_taxon_reports.py:38-45``)."""
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def reconcile_schemas(
+    current: T.StructType, incoming: T.StructType
+) -> tuple[T.StructType, bool]:
+    """Arrow-style schema reconciliation: added columns append, numeric types
+    widen along a fixed lattice; anything else is an error.
+
+    Reference analogue: ``mergeSchema=true`` on every Delta append
+    (``utils/spark_delta.py:195-196``), made explicit because MERGE does not
+    auto-evolve."""
+    cur = {f.name: f for f in current.fields}
+    out = list(current.fields)
+    changed = False
+    for f in incoming.fields:
+        if f.name not in cur:
+            out.append(T.StructField(f.name, f.dataType, nullable=True))
+            changed = True
+            continue
+        c = cur[f.name]
+        if c.dataType == f.dataType:
+            continue
+        a, b = c.dataType.typeName(), f.dataType.typeName()
+        if (a, b) in _WIDEN:
+            wide = _WIDEN[(a, b)]
+            idx = [i for i, x in enumerate(out) if x.name == f.name][0]
+            out[idx] = T.StructField(f.name, getattr(T, {
+                "long": "LongType", "integer": "IntegerType",
+                "double": "DoubleType", "short": "ShortType",
+            }[wide])(), nullable=True)
+            changed = True
+        elif (b, a) in _WIDEN:
+            continue  # incoming is narrower; cast up on align
+        else:
+            raise SchemaEvolutionError(
+                f"cannot evolve column {f.name}: {a} -> {b}"
+            )
+    return T.StructType(out), changed

@@ -1,0 +1,63 @@
+"""SparkSession construction for the CDC/ingest engine.
+
+Spark-first counterpart of the reference's session builders
+(``/root/reference/src/cdm_data_loader_utils/utils/spark_delta.py:41-76`` and
+``parsers/refseq_pipeline/core/spark_delta.py:11-26``). Unlike the reference,
+which pins ``spark.sql.shuffle.partitions=200`` with no AQE
+(``parsers/gene_association_file.py:101``), we enable AQE (coalesce + skew
+join), Arrow for pandas UDFs, and a UTC session timezone for deterministic
+replay equality across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults tuned for the sandbox (local[N]); on a real cluster these are
+# supplied by spark-submit / cluster conf and everything here is safe to keep.
+_DEFAULTS: dict[str, str] = {
+    # Let AQE re-plan at runtime: coalesce tiny shuffle partitions, split
+    # skewed ones (hot conv_id handling beyond our explicit salting).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs / toPandas (input_hint: no per-row Python).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamps regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # Partition sizing for the 100 TB target: 128 MiB scan splits.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Keep broadcast autodetect on; dimension tables in this engine are tiny.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "cdm-cdc-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for the CDC engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the bench harness can run the identical job at two parallelism levels.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,239 @@
+"""Lake-format behavior tests — mirror of the reference's Delta behavior
+suite (``/root/reference/tests/utils/test_spark_delta.py:234-578``): write
+modes, schema evolution on append, empty-df skip, time travel, fencing,
+compaction/expiry."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdm_data_loader_utils_spark.lake.table import (
+    CommitConflictError,
+    LakeTable,
+    SchemaEvolutionError,
+    reconcile_schemas,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.IntegerType()),
+    ]
+)
+
+
+def _df(spark, rows, schema=SCHEMA):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_create_and_read_empty(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    assert t.read().count() == 0
+    assert [f.name for f in t.read().schema.fields] == ["k", "v"]
+    assert t.snapshot_id == 1
+
+
+def test_append_and_read(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1), ("b", 2)]))
+    t.append(_df(spark, [("c", 3)]))
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_overwrite(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1)]))
+    t.overwrite(_df(spark, [("z", 9)]))
+    assert [(r.k, r.v) for r in t.read().collect()] == [("z", 9)]
+
+
+def test_time_travel(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1)]))
+    v2 = t.snapshot_id
+    t.append(_df(spark, [("b", 2)]))
+    assert t.read().count() == 2
+    assert t.read(snapshot_id=v2).count() == 1
+
+
+def test_schema_evolution_append_adds_column(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1)]))
+    wider = T.StructType(
+        SCHEMA.fields + [T.StructField("extra", T.StringType())]
+    )
+    t.append(spark.createDataFrame([("b", 2, "x")], wider))
+    rows = {(r.k, r.v, r.extra) for r in t.read().collect()}
+    assert rows == {("a", 1, None), ("b", 2, "x")}
+
+
+def test_schema_widening_int_to_long(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1)]))
+    wide = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    t.append(spark.createDataFrame([("b", 2**40)], wide))
+    out = t.read()
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert {(r.k, r.v) for r in out.collect()} == {("a", 1), ("b", 2**40)}
+
+
+def test_incompatible_evolution_rejected():
+    a = T.StructType([T.StructField("x", T.IntegerType())])
+    b = T.StructType([T.StructField("x", T.StringType())])
+    with pytest.raises(SchemaEvolutionError):
+        reconcile_schemas(a, b)
+
+
+def test_fencing(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1)]), fence_key="run1:0")
+    sid = t.is_fenced("run1:0")
+    assert sid == t.snapshot_id
+    assert t.is_fenced("run1:1") is None
+
+
+def test_commit_conflict(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    snap = t.snapshot()
+    dup = t._next_snap(snap, "append", [], None, None)
+    t._commit(dup)
+    with pytest.raises(CommitConflictError):
+        t._commit(dup)
+
+
+def test_merge_upsert_delete_and_lww(spark, warehouse):
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=4
+    )
+    src_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    t.merge_cdc(
+        spark.createDataFrame(
+            [("a", 1, "i", 10), ("b", 2, "i", 11), ("c", 3, "i", 12)], src_schema
+        ),
+        key_cols=["k"],
+    )
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", 1), ("b", 2), ("c", 3)}
+    # update a, delete b, late (lower-lsn) update of c must lose
+    t.merge_cdc(
+        spark.createDataFrame(
+            [("a", 100, "u", 20), ("b", 0, "d", 21), ("c", 999, "u", 5)], src_schema
+        ),
+        key_cols=["k"],
+    )
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", 100), ("c", 3)}
+    # tombstone semantics: late lower-lsn resurrect of b must ALSO lose
+    t.merge_cdc(
+        spark.createDataFrame([("b", 7, "u", 15)], src_schema), key_cols=["k"]
+    )
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", 100), ("c", 3)}
+    # but a genuinely-newer insert of b wins
+    t.merge_cdc(
+        spark.createDataFrame([("b", 8, "i", 30)], src_schema), key_cols=["k"]
+    )
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", 100), ("b", 8), ("c", 3)}
+
+
+def test_merge_schema_evolution_new_column(spark, warehouse):
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=4
+    )
+    base = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    t.merge_cdc(spark.createDataFrame([("a", 1, "i", 1)], base), key_cols=["k"])
+    evolved = T.StructType(list(base.fields) + [T.StructField("tool", T.StringType())])
+    t.merge_cdc(
+        spark.createDataFrame([("b", 2, "i", 2, "hammer")], evolved), key_cols=["k"]
+    )
+    rows = {(r.k, r.v, r.tool) for r in t.read().collect()}
+    assert rows == {("a", 1, None), ("b", 2, "hammer")}
+    # update of a WITHOUT tool column nulls it (full row-image semantics)
+    t.merge_cdc(spark.createDataFrame([("b", 3, "u", 9)], base), key_cols=["k"])
+    rows = {(r.k, r.v, r.tool) for r in t.read().collect()}
+    assert rows == {("a", 1, None), ("b", 3, None)}
+
+
+def test_compact_and_expire(spark, warehouse):
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=2
+    )
+    for i in range(4):
+        t.append(_df(spark, [(f"k{i}", i)]))
+    n_before = len(t.snapshot()["files"])
+    t.compact()
+    assert len(t.snapshot()["files"]) < n_before
+    assert t.read().count() == 4
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert t.read().count() == 4
+    assert len(t.history()) == 1
+
+
+def test_merge_only_rewrites_touched_buckets(spark, warehouse):
+    """Scale property: a merge touching one key must carry forward (not
+    rewrite) files in other buckets."""
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=8
+    )
+    t.append(_df(spark, [(f"k{i}", i) for i in range(64)]))
+    files_before = {f["path"] for f in t.snapshot()["files"]}
+    src_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    t.merge_cdc(
+        spark.createDataFrame([("k3", 333, "u", 99)], src_schema), key_cols=["k"]
+    )
+    files_after = {f["path"] for f in t.snapshot()["files"]}
+    carried = files_before & files_after
+    assert carried, "untouched-bucket files must carry forward unchanged"
+    assert t.snapshot()["summary"]["files_rewritten"] <= 1
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert ("k3", 333) in got and len(got) == 64
+
+
+def test_merge_mixed_matched_and_new_keys(spark, warehouse):
+    """Regression: a batch with both an update to an existing key and a
+    brand-new key in the same bucket must not double-write the new key."""
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=1
+    )
+    src_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    t.merge_cdc(spark.createDataFrame([("a", 1, "i", 1)], src_schema), key_cols=["k"])
+    t.merge_cdc(
+        spark.createDataFrame([("a", 2, "u", 2), ("b", 9, "i", 3)], src_schema),
+        key_cols=["k"],
+    )
+    rows = [(r.k, r.v) for r in t.read().orderBy("k").collect()]
+    assert rows == [("a", 2), ("b", 9)]
+    assert t.read().groupBy("k").count().filter(F.col("count") > 1).count() == 0
