@@ -282,8 +282,15 @@ class LakeTable:
         staging = os.path.join(self.path, _DATA_DIR, f"_staging_{commit_uid}")
         bucket = self._bucket_expr(snap)
         if bucket is not None:
-            df.withColumn("__bucket", bucket).write.partitionBy("__bucket").parquet(
-                staging, mode="overwrite"
+            # shuffle by bucket first so each task owns whole buckets —
+            # otherwise partitionBy writes (tasks × buckets) tiny files and
+            # the per-file footer/metadata cost dominates the commit
+            n_out = int(snap.get("bucket_count") or 16)
+            (
+                df.withColumn("__bucket", bucket)
+                .repartition(n_out, "__bucket")
+                .write.partitionBy("__bucket")
+                .parquet(staging, mode="overwrite")
             )
         else:
             df.write.parquet(staging, mode="overwrite")

@@ -1,0 +1,268 @@
+"""Document deduplication family for large-scale training-data pipelines.
+
+The reference's only dedup is driver-side set-dedup and the W1 window
+(``/root/reference/src/cdm_data_loader_utils/parsers/refseq_importer/core/
+cdm_builders.py:230-239``, ``parsers/refseq_pipeline/core/spark_delta.py:
+129-139``). A 100 TB corpus needs the standard near-dup ladder; each operator
+here is pure DataFrame API (one or two shuffles, no Python in the hot path):
+
+* exact dedup — content-hash groupBy;
+* n-gram Jaccard — shingle → explode → pair-join → ratio (exact, quadratic
+  within shingle buckets; for corpora use MinHash first);
+* MinHash + LSH — k seeded xxhash64 min-signatures → bands → bucket join →
+  verify (the scale path: candidate generation is linear, verification only
+  touches bucket collisions);
+* SimHash — sign-aggregated 64-bit fingerprint, near-dup = small Hamming
+  distance, candidate-blocked by rotated prefix bands.
+
+Determinism: every hash is ``xxhash64(seed, token)`` — no rand(), identical
+output at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: F.Column | str) -> F.Column:
+    """Lowercase, strip non-alphanumerics to single spaces, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def tokens(col: F.Column | str) -> F.Column:
+    return F.split(normalize_text(col), " ")
+
+
+def word_shingles(col: F.Column | str, n: int = 3) -> F.Column:
+    """Distinct n-word shingles as an array (n=1 → distinct words)."""
+    toks = tokens(col)
+    if n == 1:
+        return F.array_distinct(toks)
+    # sliding windows via transform over index range
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.filter(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            lambda s: s != "",
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical normalized text.
+
+    One hash-aggregate shuffle; at scale group by the sha256 so the shuffle
+    key is fixed-width."""
+    h = F.sha2(normalize_text(text_col), 256).alias("__h")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="inner").drop("__h")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ threshold).
+
+    shingle-explode → equi-join on shingle → per-pair intersection count →
+    |A∪B| = |A|+|B|−|A∩B|. The shingle join is the classic inverted-index
+    trick: only documents sharing ≥1 shingle ever meet, so cost is bounded by
+    shingle-bucket skew (truncate ultra-common shingles upstream at corpus
+    scale)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 1, num_hashes: int = 64,
+) -> DataFrame:
+    """k independent min-hashes per document, all JVM-side: for seed i the
+    signature element is min(xxhash64(i, shingle))."""
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+
+    def _minhash(i: int) -> F.Column:
+        # closure, not `lambda s, i=i:` — a second lambda param would make
+        # pyspark pass the array INDEX as i, silently replacing the seed
+        return F.array_min(F.transform("sh", lambda s: F.xxhash64(F.lit(i), s)))
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    return sh.select("id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash→LSH candidate pairs verified by exact Jaccard.
+
+    band hash → groupable bucket key → self-join within buckets → exact
+    verify. With r=num_hashes/bands rows per band the candidate probability
+    is 1−(1−j^r)^b — tune (num_hashes, bands) to the threshold. Output:
+    (id_a, id_b, jaccard) for verified candidates."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows + r] for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+    va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Hybrid split along the guide's rule of thumb: token hashing stays
+    JVM-side (``xxhash64`` per distinct token, whole-stage codegen), and only
+    the bit-vote fold — which would need 64 separate array aggregates as pure
+    column exprs — runs as an Arrow-batched pandas UDF over the compact
+    ``array<long>`` of token hashes (numpy bit-unpack, vectorized).
+    Deterministic: same hashes, same integer votes, any parallelism."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    assert bits == 64, "simhash is fixed at 64 bits"
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pyspark can't resolve 'pd.Series' from a function-local import
+    def _fold_impl(hashes):
+        out = np.empty(len(hashes), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                out[i] = 0
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            # votes[b] = (#tokens with bit b set) - (#tokens with bit b unset)
+            bits_mat = (h[:, None] >> shifts) & np.uint64(1)
+            votes = 2 * bits_mat.sum(axis=0, dtype=np.int64) - len(h)
+            fp = np.uint64(0)
+            fp = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[i] = np.int64(fp.astype(np.uint64).view(np.int64))
+        return pd.Series(out)
+
+    _fold = pandas_udf(_fold_impl, T.LongType())
+
+    toks = F.array_distinct(tokens(text_col))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(F.col(id_col).alias("id"), _fold(th).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate blocking: split the 64-bit fingerprint into ``bands`` chunks —
+    any pair within Hamming ≤ bands−1 shares at least one identical chunk
+    (pigeonhole), so a chunk-equality join finds all such pairs without the
+    quadratic blowup."""
+    fps = simhash(df, text_col, id_col)
+    width = 64 // bands
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(bands)
+        ]
+    )
+    blocked = fps.select(
+        "id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

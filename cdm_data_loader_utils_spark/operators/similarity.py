@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+No reference counterpart (cdm-data-loader-utils has no vector ops); required
+as first-class training-data-pipeline capability. Two tiers:
+
+* brute-force cosine — exact, one pass, JVM-side ``aggregate``/``zip_with``
+  arithmetic (no Python);
+* random-hyperplane LSH — the scale path: hash every vector to a small
+  bucket code, search only within the probe's bucket (and optionally its
+  neighbors). Hyperplanes are derived deterministically from seeded hashes,
+  so results are reproducible at any parallelism.
+
+At 100 TB the brute-force path is a full scan per query (fine for batched
+offline scoring with thousands of queries fused into one crossJoin stage);
+the LSH path turns it into a bucket-pruned join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """JVM-side dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+
+    Deterministic ordering (score desc, id asc); Catalyst turns
+    orderBy+limit into TakeOrderedAndProject — no full sort at scale."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    Brute-force self-join — exact baseline; use :func:`lsh_bucket` blocking
+    for corpora."""
+    # precompute norms once per vector (2·N array passes) instead of per
+    # pair (2·N² passes); only the dot product remains pairwise
+    withn = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n")
+    )
+    a = withn.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("__n").alias("na")
+    )
+    b = withn.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("__n").alias("nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane: component j is a
+    hash-derived value in [-1, 1). Pure Python at plan time (tiny: dim×planes
+    floats baked into the plan as literals)."""
+    out = []
+    for j in range(dim):
+        h = (hash((seed, plane, j)) & 0xFFFFFFFF) / 0xFFFFFFFF
+        out.append(2.0 * h - 1.0)
+    return out
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH: adds a ``bucket`` int column (one bit
+    per hyperplane). Cosine-similar vectors collide with probability
+    (1 − θ/π)^planes."""
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        plane = _hyperplane(dim, p, seed)
+        pc = F.array(*[F.lit(x) for x in plane])
+        bit = (dot(F.col(vec_col), pc) > 0).cast("int")
+        bucket = bucket * 2 + bit
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    num_planes: int = 6,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    Recall/latency knob is ``num_planes`` (fewer planes → bigger buckets).
+    The bucket filter is a pushed-down int comparison over a precomputable
+    column — at scale, persist ``lsh_bucket`` output partitioned by bucket
+    and this becomes a partition-pruned scan."""
+    dim = len(query)
+    bucketed = lsh_bucket(df, dim, num_planes, seed, vec_col)
+    qb = 0
+    for p in range(num_planes):
+        plane = _hyperplane(dim, p, seed)
+        s = sum(q * w for q, w in zip(query, plane))
+        qb = qb * 2 + (1 if s > 0 else 0)
+    qc = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        bucketed.filter(F.col("bucket") == qb)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), qc), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (argmax cosine). Centroids are plan-time literals (an offline k-means or
+    hash-seeded sample); at scale write the output partitioned by
+    ``centroid_id`` so probes scan only nprobe partitions."""
+    best_id, best_score = F.lit(-1), F.lit(-2.0)
+    for i, c in enumerate(centroids):
+        cc = F.array(*[F.lit(float(x)) for x in c])
+        s = cosine(F.col(vec_col), cc)
+        better = s > best_score
+        best_id = F.when(better, F.lit(i)).otherwise(best_id)
+        best_score = F.when(better, s).otherwise(best_score)
+    return df.withColumn("centroid_id", best_id)

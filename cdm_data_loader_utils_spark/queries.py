@@ -1,0 +1,803 @@
+"""Query catalog: one named query per implemented operator (SURVEY §2),
+each paired with an ANSI-SQL oracle (DuckDB) in ``ORACLE_SQL``.
+
+Column-name discipline: every computed column is aliased identically in the
+Spark plan and the SQL so the driver's sorted-column value-hash comparison
+holds. Doubles are rounded; timestamps are projected to epoch seconds;
+raw double→string casts are avoided everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import snapshot_diff as SD
+from .operators import text_analysis as TA
+from .operators.lww import lww_dedup
+from .operators.validation import annotate_errors
+from .schemas import ROW_ERRORS_COL
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# events → change-event envelope (deterministic mapping shared by the LWW
+# and full-replay queries and their oracles)
+# --------------------------------------------------------------------------
+def events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_type").isin("view", "click"), F.lit("u"))
+        .otherwise(F.lit("i"))
+        .alias("op"),
+        F.format_string("conv-%05d", F.pmod(F.col("user_id"), F.lit(100))).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("props").alias("text"),
+        # events.parquet carries TIMESTAMP_NTZ; session TZ is UTC so this
+        # cast is exact and matches DuckDB's epoch()
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+
+_CHANGES_SQL = """
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'd'
+              WHEN event_type IN ('view','click') THEN 'u'
+              ELSE 'i' END AS op,
+         printf('conv-%05d', user_id % 100) AS conv_id,
+         CAST(event_id % 20 AS INT) AS turn_idx,
+         props AS text,
+         ts
+  FROM events
+"""
+
+
+def q_lww_latest_turn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 flagship: last-writer-wins per (conv_id, turn_idx), deletes drop.
+
+    Reference: core/spark_delta.py:129-139 window dedup."""
+    ch = events_as_changes(spark, sf_dir)
+    last = lww_dedup(ch, ["conv_id", "turn_idx"], ["lsn", "ts"], extra_tiebreak=None)
+    return last.filter(F.col("op") != "d").select(
+        "conv_id", "turn_idx", "text", F.col("lsn").alias("last_lsn")
+    )
+
+
+def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end: change events → 4 out-of-order micro-batches →
+    exactly-once MERGE into a bucketed lake table → final state.
+
+    The oracle is the pure-SQL global LWW fold — equality proves the whole
+    engine (dedup, tombstones, fencing, copy-on-write merge) converges to
+    the declarative semantics."""
+    from .lake.table import LakeTable
+    from .schemas import TRANSCRIPT_SCHEMA_V0
+    from .streaming.replay import replay_batches
+
+    ch = events_as_changes(spark, sf_dir).withColumn(
+        "batch_id", F.pmod(F.col("lsn"), F.lit(4)).cast("long")
+    )
+    tmp = tempfile.mkdtemp(prefix="replay_entry_")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "transcripts"), schema,
+        bucket_by="conv_id", bucket_count=8,
+    )
+    replay_batches(ch, table, None, "entry-run", salt_buckets=8)
+    return (
+        table.read()
+        .select("conv_id", "turn_idx", "text", F.unix_micros("ts").alias("ts_us"))
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+_LWW_ORACLE = f"""
+WITH ev AS ({_CHANGES_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC, ts DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, text, lsn AS last_lsn
+FROM ranked WHERE rn = 1 AND op <> 'd'
+"""
+
+_REPLAY_ORACLE = f"""
+WITH ev AS ({_CHANGES_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC, ts DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, text, epoch_us(ts) AS ts_us
+FROM ranked WHERE rn = 1 AND op <> 'd'
+ORDER BY conv_id, turn_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# snapshot diff family (J1-J4, P6)
+# --------------------------------------------------------------------------
+def _halves(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    old = ev.filter(F.pmod("event_id", F.lit(2)) == 0).groupBy("user_id").agg(
+        F.round(F.max("value"), 6).alias("sha")
+    )
+    new = ev.filter(F.pmod("event_id", F.lit(2)) == 1).groupBy("user_id").agg(
+        F.round(F.max("value"), 6).alias("sha")
+    )
+    return old, new
+
+
+_HALVES_SQL = """
+old AS (SELECT user_id, round(max(value), 6) AS sha FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+new AS (SELECT user_id, round(max(value), 6) AS sha FROM events WHERE event_id % 2 = 1 GROUP BY user_id)
+"""
+
+
+def q_snapshot_diff_classify(spark, sf_dir):
+    """J2: full-outer join + 4-way change_type ladder
+    (core/snapshot_utils.py:37-61)."""
+    old, new = _halves(spark, sf_dir)
+    return SD.classify_changes(old, new, ["user_id"], ["sha"]).select(
+        "user_id", "change_type"
+    )
+
+
+def q_changed_keys(spark, sf_dir):
+    """J1/J3: keys that are new or updated (core/snapshot_utils.py:59-61)."""
+    old, new = _halves(spark, sf_dir)
+    diffed = SD.classify_changes(old, new, ["user_id"], ["sha"])
+    return SD.changed_keys(diffed, ["user_id"])
+
+
+def q_new_only_keys(spark, sf_dir):
+    """J4 left-anti (core/snapshot_utils.py:16-23)."""
+    old, new = _halves(spark, sf_dir)
+    return SD.new_only(old, new, ["user_id"])
+
+
+def q_removed_only_keys(spark, sf_dir):
+    old, new = _halves(spark, sf_dir)
+    return SD.removed_only(old, new, ["user_id"])
+
+
+_DIFF_CLASSIFY_ORACLE = f"""
+WITH {_HALVES_SQL}
+SELECT COALESCE(old.user_id, new.user_id) AS user_id,
+       CASE WHEN old.user_id IS NULL THEN 'new'
+            WHEN new.user_id IS NULL THEN 'deleted'
+            WHEN old.sha IS DISTINCT FROM new.sha THEN 'updated'
+            ELSE 'unchanged' END AS change_type
+FROM old FULL OUTER JOIN new ON old.user_id = new.user_id
+"""
+
+_CHANGED_KEYS_ORACLE = f"""
+WITH {_HALVES_SQL}
+SELECT DISTINCT COALESCE(new.user_id) AS user_id
+FROM new LEFT JOIN old ON old.user_id = new.user_id
+WHERE old.user_id IS NULL OR old.sha IS DISTINCT FROM new.sha
+"""
+
+_NEW_ONLY_ORACLE = f"""
+WITH {_HALVES_SQL}
+SELECT DISTINCT new.user_id FROM new
+LEFT JOIN old ON old.user_id = new.user_id WHERE old.user_id IS NULL
+"""
+
+_REMOVED_ONLY_ORACLE = f"""
+WITH {_HALVES_SQL}
+SELECT DISTINCT old.user_id FROM old
+LEFT JOIN new ON old.user_id = new.user_id WHERE new.user_id IS NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# aggregations / sorts / sets (A1-A4, O1, U1)
+# --------------------------------------------------------------------------
+def q_conditional_agg_metrics(spark, sf_dir):
+    """A1: count + conditional sums (audit/metrics.py:60-65)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).cast("long").alias("n_high"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_distinct_projection(spark, sf_dir):
+    """A2 (core/hashes_diff.py:51,80)."""
+    return load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+def q_collect_sorted_reasons(spark, sf_dir):
+    """A4: distinct-collect of per-key reasons, sorted in-engine
+    (audit/metrics.py:55-58) — emitted as a joined string for portability."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws("|", F.sort_array(F.collect_set("event_type"))).alias("types")
+    )
+
+
+def q_latest_two_events(spark, sf_dir):
+    """O1: orderBy desc + limit 2 (core/hashes_diff.py:51 tail(2))."""
+    ev = load(spark, sf_dir, "events")
+    return ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(2).select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+
+
+def q_union_fold(spark, sf_dir):
+    """U1: unionByName fold of per-slice frames
+    (refseq_importer/core/tables_finalize.py:34-64)."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    b = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    return (
+        a.unionByName(b)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+_COND_AGG_ORACLE = """
+SELECT event_type,
+       count(*) AS cnt,
+       CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       round(sum(value), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+_DISTINCT_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
+
+_COLLECT_ORACLE = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types
+FROM events GROUP BY user_id
+"""
+
+_LATEST2_ORACLE = """
+SELECT event_id, epoch_us(ts) AS ts_us
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 2
+"""
+
+_UNION_ORACLE = """
+SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS sum_value
+FROM (
+  SELECT user_id, value FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, value FROM events WHERE event_type = 'click'
+) GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# projections / scalar functions (P6-P17)
+# --------------------------------------------------------------------------
+def q_when_classifier(spark, sf_dir):
+    """P6 when/otherwise ladder (core/snapshot_utils.py:51-58 pattern)."""
+    o = load(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") >= 200000, F.lit("platinum"))
+        .when(F.col("o_totalprice") >= 100000, F.lit("gold"))
+        .when(F.col("o_totalprice") >= 50000, F.lit("silver"))
+        .otherwise(F.lit("bronze"))
+    )
+    return o.groupBy(tier.alias("tier")).agg(
+        F.count("*").alias("cnt"), F.round(F.avg("o_totalprice"), 4).alias("avg_price")
+    )
+
+
+def q_string_normalization(spark, sf_dir):
+    """P7: split/trim/upper/regexp_replace/concat_ws
+    (parsers/gene_association_file.py:113-133)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.trim("c_name")).alias("name_upper"),
+        F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("seg_masked"),
+        F.concat_ws("::", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_key"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_prefix"),
+    )
+
+
+def q_json_extraction(spark, sf_dir):
+    """P17/P16: get_json_object + safe numeric coercion
+    (core/cdm_parse.py:15-51)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k")
+    )
+
+
+def q_sha_fingerprints(spark, sf_dir):
+    """P14: distributed sha256 content hash (core/refseq_io.py:216-221)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TA.fingerprint("text").alias("fp"))
+
+
+def q_explode_tokens(spark, sf_dir):
+    """P9: explode array→rows (gene_association_file.py:165)."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(F.explode(D.tokens("text")).alias("word"))
+    return (
+        w.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_higher_order_filter(spark, sf_dir):
+    """P10: array construction + HOF filter
+    (validation/df_nullable_fields.py:33-60)."""
+    d = load(spark, sf_dir, "documents")
+    toks = D.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_words"),
+        F.size(toks).alias("n_words"),
+    )
+
+
+def q_validation_errors(spark, sf_dir):
+    """Validation split: error-array annotation, counted per type."""
+    ev = load(spark, sf_dir, "events")
+    checks = {
+        "neg_value": F.col("value") >= 0,
+        "bad_type": F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
+        "null_user": F.col("user_id").isNotNull(),
+    }
+    ann = annotate_errors(ev, checks)
+    return ann.agg(
+        F.count("*").alias("rows_read"),
+        F.sum((F.size(ROW_ERRORS_COL) == 0).cast("long")).alias("rows_valid"),
+        F.sum(F.size(ROW_ERRORS_COL).cast("long")).alias("total_errors"),
+    )
+
+
+_WHEN_ORACLE = """
+SELECT CASE WHEN o_totalprice >= 200000 THEN 'platinum'
+            WHEN o_totalprice >= 100000 THEN 'gold'
+            WHEN o_totalprice >= 50000 THEN 'silver'
+            ELSE 'bronze' END AS tier,
+       count(*) AS cnt, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1
+"""
+
+_STRINGS_ORACLE = """
+SELECT c_custkey,
+       upper(trim(c_name)) AS name_upper,
+       regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked,
+       concat_ws('::', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key,
+       string_split(c_name, '#')[1] AS name_prefix
+FROM customer
+"""
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+_SHA_ORACLE = f"SELECT doc_id, sha256({_NORM_SQL}) AS fp FROM documents"
+
+_EXPLODE_ORACLE = f"""
+SELECT word, count(*) AS cnt FROM (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+) WHERE word <> '' GROUP BY word
+"""
+
+_HOF_ORACLE = f"""
+SELECT doc_id,
+       len(list_filter(string_split({_NORM_SQL}, ' '), x -> len(x) > 4)) AS n_long_words,
+       len(string_split({_NORM_SQL}, ' ')) AS n_words
+FROM documents
+"""
+
+_VALIDATION_ORACLE = """
+SELECT count(*) AS rows_read,
+       CAST(sum(CASE WHEN value >= 0
+                 AND event_type IN ('view','click','purchase','signup','error')
+                 AND user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_valid,
+       CAST(sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END
+         + CASE WHEN event_type IN ('view','click','purchase','signup','error') THEN 0 ELSE 1 END
+         + CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS total_errors
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# joins (J5/J6 + TPC-H-ish)
+# --------------------------------------------------------------------------
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (A1 family at scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """J5/J6: fact ⋈ small dims with explicit broadcast
+    (gene_association_file.py:172-194 evidence joins)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_region_rollup(spark, sf_dir):
+    """Multiway dim chain customer⋈nation⋈region⋈orders."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_left_join_fallback(spark, sf_dir):
+    """J6 + P13: left join with coalesce fallback
+    (gene_association_file.py:184-194)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_composite_outer_join(spark, sf_dir):
+    """J1: full-outer on a composite key + null/≠ filter
+    (core/hashes_diff.py:74-80)."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.pmod("l_suppkey", F.lit(2)) == 0).groupBy(
+        "l_partkey", "l_returnflag"
+    ).agg(F.round(F.sum("l_quantity"), 4).alias("qty_a"))
+    b = li.filter(F.pmod("l_suppkey", F.lit(2)) == 1).groupBy(
+        "l_partkey", "l_returnflag"
+    ).agg(F.round(F.sum("l_quantity"), 4).alias("qty_b"))
+    j = a.join(b, ["l_partkey", "l_returnflag"], "full_outer")
+    return j.filter(
+        F.col("qty_a").isNull()
+        | F.col("qty_b").isNull()
+        | (F.col("qty_a") != F.col("qty_b"))
+    ).select(
+        "l_partkey",
+        "l_returnflag",
+        # missing side → -1.0 sentinel (keeps null/NaN canonicalization out
+        # of the cross-engine comparison)
+        F.coalesce("qty_a", F.lit(-1.0)).alias("qty_a"),
+        F.coalesce("qty_b", F.lit(-1.0)).alias("qty_b"),
+    )
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+_BROADCAST_ORACLE = """
+SELECT p_brand, s_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_name
+"""
+
+_REGION_ORACLE = """
+SELECT r_name, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+_LEFTJOIN_ORACLE = """
+SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, count(*) AS n_orders
+FROM orders
+LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+  ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+_COMPOSITE_ORACLE = """
+WITH a AS (
+  SELECT l_partkey, l_returnflag, round(sum(l_quantity), 4) AS qty_a
+  FROM lineitem WHERE l_suppkey % 2 = 0 GROUP BY 1, 2
+), b AS (
+  SELECT l_partkey, l_returnflag, round(sum(l_quantity), 4) AS qty_b
+  FROM lineitem WHERE l_suppkey % 2 = 1 GROUP BY 1, 2
+)
+SELECT COALESCE(a.l_partkey, b.l_partkey) AS l_partkey,
+       COALESCE(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+       COALESCE(qty_a, -1.0) AS qty_a, COALESCE(qty_b, -1.0) AS qty_b
+FROM a FULL OUTER JOIN b
+  ON a.l_partkey = b.l_partkey AND a.l_returnflag = b.l_returnflag
+WHERE qty_a IS NULL OR qty_b IS NULL OR qty_a <> qty_b
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline ops: dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+def q_exact_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.exact_dedup(d).select("doc_id")
+
+
+def q_jaccard_near_dups(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(d, n=1, threshold=0.6)
+
+
+def q_minhash_lsh_near_dups(spark, sf_dir):
+    """MinHash+LSH candidates verified by exact Jaccard (rows-only check:
+    xxhash64 seeds are not portable to DuckDB)."""
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, n=1, num_hashes=64, bands=16, threshold=0.6)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash Hamming≤3 pairs (rows-only check)."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, max_hamming=3, bands=4)
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(e, threshold=0.4)
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, [1.0] * 64, k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (rows-only: hyperplanes are
+    plan-side seeded constants, not portable SQL)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.ann_topk_lsh(e, [1.0] * 64, k=10, num_planes=4)
+
+
+def q_stopword_ratio(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(TA.stopword_ratio("text", "en"), 6).alias("en_ratio")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TA.token_count("text").alias("n_tokens"),
+        TA.bpe_ish_token_count("text").alias("n_subwords"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID (rows-only: argmax ladder kept Spark-side)."""
+    d = load(spark, sf_dir, "documents")
+    return TA.lang_id(d).select("doc_id", "detected_lang", "lang_score")
+
+
+def q_quality_scores(spark, sf_dir):
+    """Composite quality score (rows-only: float-heavy heuristic)."""
+    d = load(spark, sf_dir, "documents")
+    return TA.quality_features(d).select(
+        "doc_id", "q_chars", "q_tokens", "q_punct_ratio", "q_score"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload → feature-vector plumbing via mapInPandas (rows-only:
+    synthetic media, no SQL equivalent)."""
+    from .operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=256)
+    return extract_features(media, feature_dim=8).select(
+        "media_id", "kind", "decode_ok"
+    )
+
+
+_EXACT_DEDUP_ORACLE = f"""
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256({_NORM_SQL})
+"""
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split({_NORM_SQL}, ' ')) AS s
+  FROM documents
+), sz AS (SELECT id, len(s) AS sz, s FROM sh),
+ex AS (SELECT id, sz, unnest(s) AS w FROM sz),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         count(*) AS common
+  FROM ex a JOIN ex b ON a.w = b.w AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(CAST(common AS DOUBLE) / (sz_a + sz_b - common), 6) AS jaccard
+FROM inter
+WHERE CAST(common AS DOUBLE) / (sz_a + sz_b - common) >= 0.6
+"""
+
+_COSINE_PAIRS_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+_ONES_64 = "[" + ", ".join(["1.0"] * 64) + "]"
+
+_COSINE_TOPK_ORACLE = f"""
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST({_ONES_64} AS DOUBLE[])), 6) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+_STOPWORD_ORACLE = f"""
+SELECT doc_id,
+       round(CASE WHEN len(string_split({_NORM_SQL}, ' ')) > 0
+             THEN CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                  x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE)
+                  / len(string_split({_NORM_SQL}, ' '))
+             ELSE 0.0 END, 6) AS en_ratio
+FROM documents
+"""
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len(list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')) AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]{{1,4}}|[^a-z0-9\\s]')) AS n_subwords
+FROM documents
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "lww_latest_turn": q_lww_latest_turn,
+        "cdc_replay_final_state": q_cdc_replay_final_state,
+        "snapshot_diff_classify": q_snapshot_diff_classify,
+        "changed_keys": q_changed_keys,
+        "new_only_keys": q_new_only_keys,
+        "removed_only_keys": q_removed_only_keys,
+        "conditional_agg_metrics": q_conditional_agg_metrics,
+        "distinct_projection": q_distinct_projection,
+        "collect_sorted_reasons": q_collect_sorted_reasons,
+        "latest_two_events": q_latest_two_events,
+        "union_fold": q_union_fold,
+        "when_classifier": q_when_classifier,
+        "string_normalization": q_string_normalization,
+        "json_extraction": q_json_extraction,
+        "sha_fingerprints": q_sha_fingerprints,
+        "explode_tokens": q_explode_tokens,
+        "higher_order_filter": q_higher_order_filter,
+        "validation_errors": q_validation_errors,
+        "pricing_summary": q_pricing_summary,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "region_rollup": q_region_rollup,
+        "left_join_fallback": q_left_join_fallback,
+        "composite_outer_join": q_composite_outer_join,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_near_dups": q_jaccard_near_dups,
+        "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "stopword_ratio": q_stopword_ratio,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "lww_latest_turn": _LWW_ORACLE,
+        "cdc_replay_final_state": _REPLAY_ORACLE,
+        "snapshot_diff_classify": _DIFF_CLASSIFY_ORACLE,
+        "changed_keys": _CHANGED_KEYS_ORACLE,
+        "new_only_keys": _NEW_ONLY_ORACLE,
+        "removed_only_keys": _REMOVED_ONLY_ORACLE,
+        "conditional_agg_metrics": _COND_AGG_ORACLE,
+        "distinct_projection": _DISTINCT_ORACLE,
+        "collect_sorted_reasons": _COLLECT_ORACLE,
+        "latest_two_events": _LATEST2_ORACLE,
+        "union_fold": _UNION_ORACLE,
+        "when_classifier": _WHEN_ORACLE,
+        "string_normalization": _STRINGS_ORACLE,
+        "json_extraction": _JSON_ORACLE,
+        "sha_fingerprints": _SHA_ORACLE,
+        "explode_tokens": _EXPLODE_ORACLE,
+        "higher_order_filter": _HOF_ORACLE,
+        "validation_errors": _VALIDATION_ORACLE,
+        "pricing_summary": _PRICING_ORACLE,
+        "broadcast_dim_join": _BROADCAST_ORACLE,
+        "region_rollup": _REGION_ORACLE,
+        "left_join_fallback": _LEFTJOIN_ORACLE,
+        "composite_outer_join": _COMPOSITE_ORACLE,
+        "exact_dedup": _EXACT_DEDUP_ORACLE,
+        "jaccard_near_dups": _JACCARD_ORACLE,
+        "embedding_cosine_pairs": _COSINE_PAIRS_ORACLE,
+        "cosine_topk": _COSINE_TOPK_ORACLE,
+        "stopword_ratio": _STOPWORD_ORACLE,
+        "token_counts": _TOKEN_COUNT_ORACLE,
+        # rows-only (non-SQL-portable): minhash_lsh_near_dups,
+        # simhash_near_dups, ann_lsh_topk, lang_id, quality_scores,
+        # multimodal_features
+    }

@@ -48,6 +48,16 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
     the bench harness can run the identical job at two parallelism levels.
     """
+    # make this package importable inside Python workers (pandas UDFs
+    # deserialize by module path) regardless of the driver's cwd — the
+    # local-mode equivalent of `spark-submit --py-files`
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+        )
+
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

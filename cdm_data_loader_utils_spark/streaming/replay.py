@@ -69,6 +69,7 @@ def apply_batch(
     if fenced is not None:
         return BatchResult(batch_id, True, 0, 0, 0, 0, None, fenced)
 
+    persisted = []
     try:
         annotated = annotate_errors(events, change_event_checks())
         # one pass for the batch tallies (reference metrics pattern,
@@ -84,8 +85,10 @@ def apply_batch(
             audit.write_rejects(run_id, batch_id, invalid)
 
         # skew-proof last-writer-wins: one surviving event per (conv_id,
-        # turn_idx) under total order (lsn desc, ts desc, op desc)
-        deduped = lww_dedup_salted(valid, KEY_COLS, ORDER_COLS, salt_buckets)
+        # turn_idx) under total order (lsn desc, ts desc, op desc); pinned —
+        # the merge consumes it for bucket pruning, probing and both writes
+        deduped = lww_dedup_salted(valid, KEY_COLS, ORDER_COLS, salt_buckets).persist()
+        persisted.append(deduped)
 
         # per-partition lineage: stats per target bucket (north rule); tiny
         # result (≤ bucket_count rows), single shuffle over the deduped batch
@@ -134,6 +137,9 @@ def apply_batch(
         if audit is not None:
             audit.log_batch(run_id, batch_id, RUN_STATUS_ERROR)
         raise
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 def replay_batches(

@@ -1,0 +1,255 @@
+"""Operator-level tests: snapshot diff, dedup family, similarity, text
+analysis, multimodal plumbing, DSV reader, scalar functions."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdm_data_loader_utils_spark.functions.scalars import (
+    deterministic_id,
+    percent_to_fraction,
+    safe_float,
+    safe_int,
+    sha256_fingerprint,
+)
+from cdm_data_loader_utils_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+from cdm_data_loader_utils_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from cdm_data_loader_utils_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_pairs,
+    cosine_topk,
+)
+from cdm_data_loader_utils_spark.operators.snapshot_diff import (
+    classify_changes,
+    new_only,
+    removed_only,
+    to_change_events,
+)
+from cdm_data_loader_utils_spark.operators.text_analysis import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from cdm_data_loader_utils_spark.sources.dsv import read_dsv, split_corrupt
+
+
+# --------------------------------------------------------- snapshot diff
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, ["acc", "sha"])
+
+
+def test_classify_changes(spark):
+    old = _snap(spark, [("a", "h1"), ("b", "h2"), ("c", "h3")])
+    new = _snap(spark, [("a", "h1"), ("b", "h9"), ("d", "h4")])
+    out = classify_changes(old, new, ["acc"], ["sha"])
+    got = {r["acc"]: r["change_type"] for r in out.collect()}
+    assert got == {"a": "unchanged", "b": "updated", "c": "deleted", "d": "new"}
+    assert {r[0] for r in new_only(old, new, ["acc"]).collect()} == {"d"}
+    assert {r[0] for r in removed_only(old, new, ["acc"]).collect()} == {"c"}
+
+
+def test_to_change_events_feeds_merge(spark):
+    old = _snap(spark, [("a", "h1"), ("c", "h3")])
+    new = _snap(spark, [("a", "h2"), ("b", "h5")])
+    ev = to_change_events(
+        classify_changes(old, new, ["acc"], ["sha"]), ["acc"], ["sha"]
+    )
+    got = {(r["acc"], r["op"], r["sha"]) for r in ev.collect()}
+    assert got == {("a", "u", "h2"), ("b", "i", "h5"), ("c", "d", None)}
+    assert ev.select("lsn").distinct().count() == 3  # unique synthetic LSNs
+
+
+# --------------------------------------------------------------- dedup
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "THE QUICK  brown FOX jumps over the lazy dog!!"),  # normalized dup
+    (4, "the quick brown fox leaps over the lazy dog"),  # near dup (1 word)
+    (5, "completely different content about spark engines"),
+    (6, "spark engines process completely different content"),  # same words
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark))
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 in ids and 2 not in ids and 3 not in ids
+    assert {4, 5, 6} <= ids
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    sh = df.select(word_shingles("text", 2).alias("s")).collect()[0][0]
+    assert sorted(sh) == ["a b", "b c", "c d"]
+
+
+def test_jaccard_pairs(spark):
+    out = jaccard_pairs(_docs(spark), n=1, threshold=0.7)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (1, 4) in pairs  # 7 of 9 distinct words shared → 0.778
+    assert (5, 6) in pairs  # near-identical word set, different order (n=1)
+    # order sensitivity returns with 2-gram shingles
+    out2 = jaccard_pairs(_docs(spark), n=2, threshold=0.7)
+    pairs2 = {(r.id_a, r.id_b) for r in out2.collect()}
+    assert (5, 6) not in pairs2
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    out = minhash_lsh_pairs(_docs(spark), n=1, num_hashes=64, bands=16, threshold=0.6)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) in pairs
+    # verified jaccard is exact, so no false positives above threshold
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(_docs(spark), n=1, threshold=0.6).collect()
+    }
+    assert pairs <= exact
+
+
+def test_simhash_pairs(spark):
+    out = simhash_pairs(_docs(spark), max_hamming=10, bands=4)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    ham = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert ham[(1, 2)] == 0  # identical text → identical fingerprint
+
+
+# ------------------------------------------------------------ similarity
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cosine_topk(spark):
+    out = cosine_topk(_vecs(spark), [1.0, 0.0, 0.0, 0.0], k=2)
+    assert [r.vec_id for r in out.collect()] == [1, 2]
+
+
+def test_cosine_pairs(spark):
+    out = cosine_pairs(_vecs(spark), threshold=0.9)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+
+
+def test_ann_lsh_recalls_exact_neighbor(spark):
+    out = ann_topk_lsh(_vecs(spark), [1.0, 0.0, 0.0, 0.0], k=2, num_planes=2)
+    ids = [r.vec_id for r in out.collect()]
+    assert ids and ids[0] == 1  # nearest neighbor lands in the same bucket
+
+
+# ---------------------------------------------------------- text analysis
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog walked to the park in a hurry"),
+            (2, "el gato y el perro en la casa de un amigo es feliz"),
+            (3, "le chat et le chien est dans les maisons des amis"),
+            (4, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.detected_lang for r in lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "fr" and out[4] == "und"
+
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "!!! ??? ...")], ["doc_id", "text"]
+    )
+    got = df.select(
+        "doc_id",
+        token_count("text").alias("tc"),
+        bpe_ish_token_count("text").alias("bc"),
+    ).collect()
+    m = {r.doc_id: (r.tc, r.bc) for r in got}
+    assert m[1][0] == 4 and m[1][1] >= 4
+    q = {r.doc_id: r.q_score for r in quality_features(df).collect()}
+    assert q[1] > q[2]  # punctuation garbage scores lower
+
+
+# ------------------------------------------------------------ multimodal
+def test_multimodal_feature_extraction(spark):
+    media = synthetic_media(spark, n=32)
+    feats = extract_features(media, feature_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(r.decode_ok for r in rows)
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(abs(sum(r.feature) - 1.0) < 1e-6 for r in rows)
+    # determinism across runs
+    again = {r.media_id: r.feature for r in extract_features(media, 8).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_frame_sample_plan_prunes_payload(spark):
+    media = synthetic_media(spark, n=16)
+    plan = frame_sample_plan(media, every_ms=10_000)
+    assert "payload" not in plan.columns
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in explained  # column pruned from the scan
+
+
+# ------------------------------------------------------------- dsv reader
+def test_dsv_corrupt_record_capture(spark, tmp_path):
+    p = os.path.join(tmp_path, "in.csv")
+    with open(p, "w") as f:
+        f.write("a,1\nb,not_a_number\nc,3\n")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]
+    )
+    df = read_dsv(spark, p, schema, eager_check=True)
+    clean, corrupt = split_corrupt(df)
+    assert {(r.k, r.v) for r in clean.collect()} == {("a", 1), ("c", 3)}
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]["__invalid_data__"]
+
+
+# --------------------------------------------------------------- scalars
+def test_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("1,234", "12.5%", "x")], ["num", "pct", "k"]
+    )
+    r = df.select(
+        safe_int("num").alias("i"),
+        safe_float("num").alias("f"),
+        percent_to_fraction("pct").alias("p"),
+        sha256_fingerprint("k").alias("h"),
+        deterministic_id("k", "num").alias("u"),
+    ).collect()[0]
+    assert r.i == 1234 and r.f == 1234.0 and abs(r.p - 0.125) < 1e-9
+    assert len(r.h) == 64
+    import uuid
+
+    assert str(uuid.UUID(r.u)) == r.u  # valid uuid, deterministic
+    r2 = df.select(deterministic_id("k", "num").alias("u")).collect()[0]
+    assert r2.u == r.u
