@@ -58,7 +58,7 @@ def bench_replay_throughput(spark, n_events: int) -> tuple[float, int]:
 
     tmp = tempfile.mkdtemp(prefix="bench_replay_")
     try:
-        events = generate_change_events(
+        gen = generate_change_events(
             spark,
             n_events=n_events,
             n_convs=max(1000, n_events // 1000),
@@ -68,7 +68,23 @@ def bench_replay_throughput(spark, n_events: int) -> tuple[float, int]:
             batch_size=max(1, n_events // 4),
             tool_from_lsn=n_events // 2,
         )
+        # materialize the stream first (untimed): the metric is ingest
+        # throughput of delivered events, not synthesis cost
+        events_path = os.path.join(tmp, "events")
+        gen.write.parquet(events_path)
+        events = spark.read.parquet(events_path)
         n_delivered = events.count()
+        # untimed warm-up replay: JIT/codegen compilation otherwise lands in
+        # the first timed batch and skews the parallelism comparison
+        warm = LakeTable.create(
+            spark, os.path.join(tmp, "warm"), TRANSCRIPT_SCHEMA,
+            bucket_by="conv_id", bucket_count=64,
+        )
+        warm_events = generate_change_events(
+            spark, n_events=100_000, n_convs=1000, seed=7,
+            batch_size=50_000,
+        )
+        replay_batches(warm_events, warm, None, "warmup", salt_buckets=64)
         table = LakeTable.create(
             spark,
             os.path.join(tmp, "transcripts"),

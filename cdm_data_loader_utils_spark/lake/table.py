@@ -296,7 +296,7 @@ class LakeTable:
             df.write.parquet(staging, mode="overwrite")
         final_dir = os.path.join(self.path, _DATA_DIR, commit_uid)
         os.makedirs(final_dir, exist_ok=True)
-        entries: list[FileEntry] = []
+        todo: list[tuple[str, str, int | None]] = []
         for root, _dirs, files in os.walk(staging):
             for fn in files:
                 if not fn.endswith(".parquet"):
@@ -307,20 +307,28 @@ class LakeTable:
                 if comp.startswith("__bucket="):
                     b = int(comp.split("=", 1)[1])
                 dst_name = (f"b{b}-{fn}" if b is not None else fn)
-                dst = os.path.join(final_dir, dst_name)
-                os.rename(src, dst)
-                rows = pq.ParquetFile(dst).metadata.num_rows
-                if rows == 0:
-                    os.unlink(dst)
-                    continue
-                entries.append(
-                    FileEntry(
-                        path=os.path.relpath(dst, self.path),
-                        bucket=b,
-                        schema_id=schema_id,
-                        rows=rows,
-                    )
-                )
+                todo.append((src, os.path.join(final_dir, dst_name), b))
+
+        def _finalize(item: tuple[str, str, int | None]) -> FileEntry | None:
+            src, dst, b = item
+            os.rename(src, dst)
+            rows = pq.ParquetFile(dst).metadata.num_rows
+            if rows == 0:
+                os.unlink(dst)
+                return None
+            return FileEntry(
+                path=os.path.relpath(dst, self.path),
+                bucket=b,
+                schema_id=schema_id,
+                rows=rows,
+            )
+
+        # footer reads + renames are per-file driver metadata work; run them
+        # on a thread pool so commit latency stays flat as bucket_count grows
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            entries = [fe for fe in pool.map(_finalize, todo) if fe is not None]
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
@@ -397,6 +405,7 @@ class LakeTable:
         op_col: str = "op",
         summary: dict | None = None,
         fence_key: str | None = None,
+        touched_buckets: set[int] | None = None,
     ) -> int:
         """CDC MERGE: last-writer-wins upsert/delete, copy-on-write.
 
@@ -456,7 +465,9 @@ class LakeTable:
         bucket = self._bucket_expr(snap)
         candidates: list[FileEntry]
         if bucket is not None and existing and all(fe.bucket is not None for fe in existing):
-            touched = {
+            # caller may already know the touched buckets (e.g. the replay
+            # path computes them in its lineage aggregation) — saves a job
+            touched = touched_buckets if touched_buckets is not None else {
                 r[0]
                 for r in src.select(bucket.alias("b")).distinct().collect()
             }
@@ -467,7 +478,6 @@ class LakeTable:
 
         # 4. file-level existence probe: keep candidate files with no matching
         #    key as carry-forward metadata (no rewrite)
-        rewritten_files: list[FileEntry] = []
         affected: list[FileEntry] = []
         if candidates:
             from urllib.parse import urlparse
@@ -483,7 +493,9 @@ class LakeTable:
             }
             affected = [fe for fe in candidates if fe.path in hit_files]
             carried += [fe for fe in candidates if fe.path not in hit_files]
-        # 5. rewrite affected files merged with source
+        # 5. rewrite affected files merged with source (the full-outer join
+        # also carries source-only rows, i.e. brand-new keys, so ONE write
+        # covers updates, deletes and inserts)
         if affected:
             tgt_rows = self._read_files(snap, affected, with_file_col=False)
             tgt_rows = _align_to_schema(tgt_rows, full_schema)
@@ -509,24 +521,21 @@ class LakeTable:
                 .otherwise(F.col(f"t.{META_DELETED}"))
                 .alias(META_DELETED),
             )
-            merged = _align_to_schema(merged, full_schema)
-            # the full-outer join already carries source-only rows (brand-new
-            # keys), so this single write covers updates, deletes AND inserts
-            rewritten_files += self._write_files(merged, snap, sid)
-            ins_files: list[FileEntry] = []
+            out_rows = _align_to_schema(merged, full_schema)
         else:
             # no existing file contains any incoming key (carried files were
             # existence-probed with no hit or live in untouched buckets):
             # everything is an insert
-            ins_files = self._write_files(_align_to_schema(src, full_schema), snap, sid)
+            out_rows = _align_to_schema(src, full_schema)
+        rewritten_files = self._write_files(out_rows, snap, sid)
 
-        all_files = carried + rewritten_files + ins_files
+        all_files = carried + rewritten_files
         nxt = self._next_snap(
             snap, "merge", all_files, summary, fence_key,
             schemas=schemas, current_schema_id=sid,
         )
         nxt["summary"].setdefault("files_rewritten", len(affected))
-        nxt["summary"].setdefault("files_added", len(rewritten_files) + len(ins_files))
+        nxt["summary"].setdefault("files_added", len(rewritten_files))
         return self._commit(nxt)
 
     def _read_files(self, snap: dict, entries: list[FileEntry], with_file_col: bool) -> DataFrame:

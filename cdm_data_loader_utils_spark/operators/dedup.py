@@ -126,13 +126,28 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    max_bucket_size: int = 500,
+    est_fraction: float = 0.75,
 ) -> DataFrame:
     """MinHash→LSH candidate pairs verified by exact Jaccard.
 
-    band hash → groupable bucket key → self-join within buckets → exact
-    verify. With r=num_hashes/bands rows per band the candidate probability
-    is 1−(1−j^r)^b — tune (num_hashes, bands) to the threshold. Output:
-    (id_a, id_b, jaccard) for verified candidates."""
+    band hash → bucket key → self-join within buckets → signature-estimate
+    prefilter → exact verify. With r=num_hashes/bands rows per band the
+    candidate probability is 1−(1−j^r)^b. Output: (id_a, id_b, jaccard).
+
+    Two guards keep degenerate corpora (tiny vocabularies, boilerplate) from
+    going quadratic — the standard production mitigations:
+
+    * ``max_bucket_size`` — a band bucket holding thousands of documents
+      means that r-hash slice is near-universal and carries almost no
+      similarity signal; such buckets are dropped before the self-join
+      (bounded recall loss: a true pair must then collide in one of its
+      OTHER informative bands);
+    * ``est_fraction`` — candidates are pre-filtered on the MinHash
+      similarity estimate (matching signature fraction ≥
+      est_fraction·threshold) before the exact shingle-set verification,
+      so the expensive array intersection runs only on plausible pairs.
+    """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     banded = sigs.select(
@@ -151,6 +166,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("__bs"))
+    banded = (
+        banded.join(sizes, ["band", "bucket"])
+        .filter(F.col("__bs") <= max_bucket_size)
+        .drop("__bs")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -162,7 +183,21 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verification of candidates only
+    # MinHash-estimate prefilter: fraction of matching signature components
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(num_hashes)
+    cand = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .filter(est >= F.lit(est_fraction * threshold))
+        .select("id_a", "id_b")
+    )
+    # exact verification of surviving candidates only
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
     )

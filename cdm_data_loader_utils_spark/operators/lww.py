@@ -42,6 +42,32 @@ def lww_dedup(
     )
 
 
+def lww_dedup_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str] = ("lsn", "ts"),
+    extra_tiebreak: str | None = "op",
+) -> DataFrame:
+    """LWW dedup as a hash aggregate: ``max_by(payload, (lsn, ts, op))``.
+
+    Semantically identical to :func:`lww_dedup` but avoids the per-key SORT
+    of the window exec: Catalyst plans a partial (map-side) aggregate before
+    the shuffle, so duplicate/hot keys collapse on the map side and only one
+    candidate row per (key, input-partition) crosses the wire. This makes
+    hot-conversation skew a non-event for dedup — the reduce side sees at
+    most ``num_input_partitions`` rows per key — which is why the replay
+    path defaults to this form and keeps the salted window only as an
+    explicit alternative."""
+    order = list(order_cols) + ([extra_tiebreak] if extra_tiebreak else [])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    ord_struct = F.struct(*[F.col(c) for c in order])
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.max_by(payload, ord_struct).alias("__r"))
+        .select("__r.*")
+    )
+
+
 def lww_dedup_salted(
     df: DataFrame,
     key_cols: list[str],

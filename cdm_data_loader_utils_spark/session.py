@@ -34,6 +34,10 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
+    # local mode = single JVM; the default 1g heap OOMs on multi-million-row
+    # writes. On a real cluster this comes from spark-submit instead.
+    "spark.driver.memory": "32g",
+    "spark.driver.maxResultSize": "4g",
 }
 
 

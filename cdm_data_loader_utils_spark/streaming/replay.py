@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..audit.tables import AuditStore
 from ..lake.table import LakeTable
-from ..operators.lww import lww_dedup_salted
+from ..operators.lww import lww_dedup_agg
 from ..operators.validation import annotate_errors, change_event_checks, split_valid
 from ..schemas import (
     ROW_ERRORS_COL,
@@ -85,9 +85,11 @@ def apply_batch(
             audit.write_rejects(run_id, batch_id, invalid)
 
         # skew-proof last-writer-wins: one surviving event per (conv_id,
-        # turn_idx) under total order (lsn desc, ts desc, op desc); pinned —
-        # the merge consumes it for bucket pruning, probing and both writes
-        deduped = lww_dedup_salted(valid, KEY_COLS, ORDER_COLS, salt_buckets).persist()
+        # turn_idx) under total order (lsn desc, ts desc, op desc) — hash
+        # aggregate with map-side combine, so hot keys collapse before the
+        # shuffle (no salting pass needed); pinned — the merge consumes it
+        # for bucket pruning, probing and the rewrite
+        deduped = lww_dedup_agg(valid, KEY_COLS, ORDER_COLS).persist()
         persisted.append(deduped)
 
         # per-partition lineage: stats per target bucket (north rule); tiny
@@ -107,12 +109,16 @@ def apply_batch(
         ]
         rows_applied = sum(a for _, a, _ in lineage)
         watermark = max((w for _, _, w in lineage), default=None)
+        # the lineage partitions ARE the table buckets (same hash expr), so
+        # the merge can skip its own touched-bucket discovery job
+        touched = {pid for pid, _, _ in lineage} if snap.get("bucket_by") else None
 
         snapshot_id = table.merge_cdc(
             deduped,
             key_cols=KEY_COLS,
             lsn_col="lsn",
             op_col="op",
+            touched_buckets=touched,
             summary={
                 "run_id": run_id,
                 "batch_id": batch_id,

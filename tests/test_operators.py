@@ -253,3 +253,27 @@ def test_scalar_functions(spark):
     assert str(uuid.UUID(r.u)) == r.u  # valid uuid, deterministic
     r2 = df.select(deterministic_id("k", "num").alias("u")).collect()[0]
     assert r2.u == r.u
+
+
+# ------------------------------------------------------- lww equivalence
+def test_lww_variants_agree(spark):
+    """window, salted-window and max_by-aggregate forms must produce the
+    identical survivor set (total order ⇒ unique answer)."""
+    from cdm_data_loader_utils_spark.operators.lww import (
+        lww_dedup,
+        lww_dedup_agg,
+        lww_dedup_salted,
+    )
+    from cdm_data_loader_utils_spark.sources.events import generate_change_events
+
+    ev = generate_change_events(
+        spark, n_events=3000, n_convs=20, turns_per_conv=10, seed=11,
+        ooo_window=300, batch_size=1000,
+    ).drop("batch_id")  # duplicate events differ only in delivery metadata,
+    # which the (lsn, ts, op) total order cannot and need not distinguish
+    keys, order = ["conv_id", "turn_idx"], ["lsn", "ts"]
+    a = {tuple(r) for r in lww_dedup(ev, keys, order).collect()}
+    b = {tuple(r) for r in lww_dedup_salted(ev, keys, order, 8).collect()}
+    c = {tuple(r) for r in lww_dedup_agg(ev, keys, order).collect()}
+    assert a == b == c
+    assert len(a) == ev.select(*keys).distinct().count()

@@ -1,0 +1,59 @@
+"""Plan-property tests: pushdown, pruning, broadcast, shuffle counts.
+
+These encode the 100-TB design contract: a correct result with the wrong
+plan is a failing test here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdm_data_loader_utils_spark.plans.inspect import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+from cdm_data_loader_utils_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    ev = Q.load(spark, SF, "events").filter(F.col("event_type") == "purchase")
+    out = ev.select("event_id")
+    fs = pushed_filters(out)
+    assert any("event_type" in f for f in fs), f"no pushdown in {fs}"
+
+
+def test_column_pruning(spark):
+    ev = Q.load(spark, SF, "events").select("event_id", "user_id")
+    schemas = read_schema_columns(ev)
+    assert schemas and all(set(s) <= {"event_id", "user_id"} for s in schemas), schemas
+
+
+def test_dim_joins_broadcast(spark):
+    df = Q.q_broadcast_dim_join(spark, SF)
+    assert has_broadcast_join(df)
+    df2 = Q.q_region_rollup(spark, SF)
+    assert has_broadcast_join(df2)
+
+
+def test_lww_agg_is_single_shuffle(spark):
+    """The replay dedup must be one exchange (partial agg map-side), not a
+    sort-window cascade."""
+    from cdm_data_loader_utils_spark.operators.lww import lww_dedup_agg
+
+    ev = Q.events_as_changes(spark, SF)
+    out = lww_dedup_agg(ev, ["conv_id", "turn_idx"], ["lsn", "ts"])
+    assert shuffle_count(out) == 1
+    # partial aggregation present → hot keys collapse before the shuffle
+    from cdm_data_loader_utils_spark.plans.inspect import physical_plan
+
+    assert "partial_max_by" in physical_plan(out)
+
+
+def test_snapshot_diff_single_join_shuffle(spark):
+    df = Q.q_snapshot_diff_classify(spark, SF)
+    # two grouped halves + one full-outer join; AQE may coalesce but the
+    # plan must not contain extra repartitions beyond the 3 logical ones
+    assert shuffle_count(df) <= 4, shuffle_count(df)
