@@ -40,12 +40,13 @@ BENCH_QUERIES = [
     "minhash_lsh_near_dups",
     "simhash_near_dups",
     "embedding_cosine_pairs",
+    "embedding_neardup_blocked",
     "cosine_topk",
     "token_counts",
     "union_fold",
 ]
 
-REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "1000000"))
+REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "4000000"))
 
 
 def bench_replay_throughput(spark, n_events: int) -> tuple[float, int]:

@@ -613,6 +613,14 @@ def q_embedding_cosine_pairs(spark, sf_dir):
     return S.cosine_pairs(e, threshold=0.4)
 
 
+def q_embedding_neardup_blocked(spark, sf_dir):
+    """Blocked-matmul embedding near-dup — the scale path (rows-only: numpy
+    matmul summation order differs from the sequential oracle in the last
+    ulp; set-equivalence to the exact path is asserted in tests)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_blocked(e, threshold=0.4, num_blocks=8)
+
+
 def q_cosine_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     return S.cosine_topk(e, [1.0] * 64, k=10)
@@ -653,6 +661,40 @@ def q_quality_scores(spark, sf_dir):
     return TA.quality_features(d).select(
         "doc_id", "q_chars", "q_tokens", "q_punct_ratio", "q_score"
     )
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """Composed training-data curation pass: exact dedup → English
+    stopword-ratio gate → per-source doc/token accounting. One lazy Catalyst
+    plan end-to-end (the GAF-style linear transform pipeline shape,
+    reference ``parsers/gene_association_file.py:245-281``)."""
+    d = load(spark, sf_dir, "documents")
+    deduped = D.exact_dedup(d)
+    gated = deduped.filter(F.round(TA.stopword_ratio("text", "en"), 6) >= 0.05)
+    return gated.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TA.token_count("text").cast("long")).alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+_CURATION_ORACLE = f"""
+WITH dedup AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256({_NORM_SQL})
+), kept AS (
+  SELECT d.* FROM documents d JOIN dedup USING (doc_id)
+  WHERE round(CASE WHEN len(string_split({_NORM_SQL}, ' ')) > 0
+        THEN CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+             x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE)
+             / len(string_split({_NORM_SQL}, ' '))
+        ELSE 0.0 END, 6) >= 0.05
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(list_filter(string_split({_NORM_SQL}, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
+       round(avg(length(text)), 4) AS avg_chars
+FROM kept GROUP BY source
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -756,12 +798,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "stopword_ratio": q_stopword_ratio,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        "curation_pipeline": q_curation_pipeline,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -797,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "stopword_ratio": _STOPWORD_ORACLE,
         "token_counts": _TOKEN_COUNT_ORACLE,
+        "curation_pipeline": _CURATION_ORACLE,
         # rows-only (non-SQL-portable): minhash_lsh_near_dups,
         # simhash_near_dups, ann_lsh_topk, lang_id, quality_scores,
         # multimodal_features

@@ -277,3 +277,19 @@ def test_lww_variants_agree(spark):
     c = {tuple(r) for r in lww_dedup_agg(ev, keys, order).collect()}
     assert a == b == c
     assert len(a) == ev.select(*keys).distinct().count()
+
+
+def test_cosine_pairs_blocked_matches_exact(spark):
+    """Blocked matmul path finds the same pair set as the exact self-join."""
+    from cdm_data_loader_utils_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_blocked,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(e, threshold=0.4).collect()}
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_blocked(e, threshold=0.4, num_blocks=4).collect()
+    }
+    assert exact == blocked and len(exact) > 0
