@@ -406,6 +406,8 @@ class LakeTable:
         summary: dict | None = None,
         fence_key: str | None = None,
         touched_buckets: set[int] | None = None,
+        incoming_rows: int | None = None,
+        dense_probe_ratio: float = 0.02,
     ) -> int:
         """CDC MERGE: last-writer-wins upsert/delete, copy-on-write.
 
@@ -477,9 +479,21 @@ class LakeTable:
         carried = [fe for fe in existing if fe not in candidates]
 
         # 4. file-level existence probe: keep candidate files with no matching
-        #    key as carry-forward metadata (no rewrite)
+        #    key as carry-forward metadata (no rewrite). For DENSE batches
+        #    (incoming keys a meaningful fraction of the candidate rows) the
+        #    probe almost always hits every file — skip it and rewrite all
+        #    candidates, saving a full target scan + join per merge.
         affected: list[FileEntry] = []
-        if candidates:
+        candidate_rows = sum(max(fe.rows, 0) for fe in candidates)
+        dense = (
+            incoming_rows is not None
+            and candidate_rows > 0
+            and incoming_rows >= dense_probe_ratio * candidate_rows
+        )
+        if candidates and dense:
+            affected = candidates
+            carried = [fe for fe in existing if fe not in candidates]
+        elif candidates:
             from urllib.parse import urlparse
 
             tgt = self._read_files(snap, candidates, with_file_col=True)

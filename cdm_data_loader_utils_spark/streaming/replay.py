@@ -71,18 +71,19 @@ def apply_batch(
 
     persisted = []
     try:
+        from pyspark.sql import Observation
+
         annotated = annotate_errors(events, change_event_checks())
-        # one pass for the batch tallies (reference metrics pattern,
-        # audit/metrics.py:60-65)
-        tally = annotated.agg(
-            F.count("*").alias("read"),
+        # batch tallies ride along the dedup materialization as an
+        # Observation instead of a separate full scan (reference metrics
+        # pattern, audit/metrics.py:60-65, without the extra pass)
+        obs = Observation(f"batch-{batch_id}")
+        observed = annotated.observe(
+            obs,
+            F.count(F.lit(1)).alias("read"),
             F.sum((F.size(ROW_ERRORS_COL) == 0).cast("long")).alias("valid"),
-        ).collect()[0]
-        rows_read, rows_valid = int(tally["read"]), int(tally["valid"] or 0)
-        rows_invalid = rows_read - rows_valid
-        valid, invalid = split_valid(annotated)
-        if audit is not None and rows_invalid:
-            audit.write_rejects(run_id, batch_id, invalid)
+        )
+        valid = observed.filter(F.size(ROW_ERRORS_COL) == 0).drop(ROW_ERRORS_COL)
 
         # skew-proof last-writer-wins: one surviving event per (conv_id,
         # turn_idx) under total order (lsn desc, ts desc, op desc) — hash
@@ -93,7 +94,8 @@ def apply_batch(
         persisted.append(deduped)
 
         # per-partition lineage: stats per target bucket (north rule); tiny
-        # result (≤ bucket_count rows), single shuffle over the deduped batch
+        # result (≤ bucket_count rows), single shuffle over the deduped
+        # batch. This is also the first action: it fills the Observation.
         snap = table.snapshot()
         if snap.get("bucket_by"):
             part = F.pmod(
@@ -107,6 +109,13 @@ def apply_batch(
             .agg(F.count("*").alias("applied"), F.max("lsn").alias("wm"))
             .collect()
         ]
+        tally = obs.get
+        rows_read, rows_valid = int(tally["read"]), int(tally["valid"] or 0)
+        rows_invalid = rows_read - rows_valid
+        if audit is not None and rows_invalid:
+            # invalid rows exist: pay the second scan only in that case
+            _, invalid = split_valid(annotated)
+            audit.write_rejects(run_id, batch_id, invalid)
         rows_applied = sum(a for _, a, _ in lineage)
         watermark = max((w for _, _, w in lineage), default=None)
         # the lineage partitions ARE the table buckets (same hash expr), so
@@ -119,6 +128,7 @@ def apply_batch(
             lsn_col="lsn",
             op_col="op",
             touched_buckets=touched,
+            incoming_rows=rows_applied,
             summary={
                 "run_id": run_id,
                 "batch_id": batch_id,
