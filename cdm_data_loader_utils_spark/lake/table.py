@@ -371,8 +371,28 @@ class LakeTable:
         aligned = _align_to_schema(df, new_schema)
         return aligned, schemas, cur_id
 
+    def _retry_commit(self, fn, max_retries: int = 5) -> int:
+        """Optimistic-concurrency loop: on a snapshot-version race, re-read
+        the log and re-apply the operation against the new current snapshot.
+        Losers' staged data files become orphans, reclaimed by
+        :meth:`expire_snapshots` (the same recovery model as Iceberg's
+        commit retries)."""
+        attempt = 0
+        while True:
+            try:
+                return fn()
+            except CommitConflictError:
+                if attempt >= max_retries:
+                    raise
+                time.sleep(0.05 * (2 ** attempt))
+                attempt += 1
+
     def append(self, df: DataFrame, summary: dict | None = None,
                fence_key: str | None = None) -> int:
+        return self._retry_commit(lambda: self._append_once(df, summary, fence_key))
+
+    def _append_once(self, df: DataFrame, summary: dict | None = None,
+                     fence_key: str | None = None) -> int:
         snap = self.snapshot()
         aligned, schemas, sid = self._prepare_write(df, snap)
         new_files = self._write_files(aligned, snap, sid)
@@ -386,6 +406,10 @@ class LakeTable:
 
     def overwrite(self, df: DataFrame, summary: dict | None = None,
                   fence_key: str | None = None) -> int:
+        return self._retry_commit(lambda: self._overwrite_once(df, summary, fence_key))
+
+    def _overwrite_once(self, df: DataFrame, summary: dict | None = None,
+                        fence_key: str | None = None) -> int:
         snap = self.snapshot()
         aligned, schemas, sid = self._prepare_write(df, snap)
         new_files = self._write_files(aligned, snap, sid)

@@ -405,6 +405,25 @@ FROM events GROUP BY event_type
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
+
+def _sw_ratio_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CASE WHEN len(string_split({_NORM_SQL}, ' ')) > 0 "
+        f"THEN CAST(len(list_filter(string_split({_NORM_SQL}, ' '), "
+        f"x -> x IN ({lst}))) AS DOUBLE) / len(string_split({_NORM_SQL}, ' ')) "
+        f"ELSE 0.0 END"
+    )
+
+
+# stopword lists mirror operators/text_analysis.py::STOPWORDS exactly
+_SW = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "que", "les", "des"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+}
+
 _SHA_ORACLE = f"SELECT doc_id, sha256({_NORM_SQL}) AS fp FROM documents"
 
 _EXPLODE_ORACLE = f"""
@@ -650,17 +669,46 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Heuristic language ID (rows-only: argmax ladder kept Spark-side)."""
+    """Heuristic language ID: argmax stopword ratio with deterministic
+    tie-break (earliest language code wins ties)."""
     d = load(spark, sf_dir, "documents")
     return TA.lang_id(d).select("doc_id", "detected_lang", "lang_score")
 
 
 def q_quality_scores(spark, sf_dir):
-    """Composite quality score (rows-only: float-heavy heuristic)."""
+    """Composite quality score (C4/Gopher-style length/punct/stopword
+    heuristics)."""
     d = load(spark, sf_dir, "documents")
     return TA.quality_features(d).select(
         "doc_id", "q_chars", "q_tokens", "q_punct_ratio", "q_score"
     )
+
+
+_QUALITY_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS q_chars,
+         len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+         length({_NORM_SQL}) AS norm_chars,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+         {_sw_ratio_sql(_SW["en"])} AS sw_ratio
+  FROM documents
+), g AS (
+  SELECT doc_id, q_chars, n_tokens,
+         CASE WHEN q_chars > 0 THEN CAST(n_punct AS DOUBLE) / q_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN CAST(norm_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_word_len,
+         sw_ratio
+  FROM f
+)
+SELECT doc_id, q_chars, n_tokens AS q_tokens,
+       round(punct_ratio, 6) AS q_punct_ratio,
+       round(least(n_tokens / 20.0, 1.0) * 0.4
+           + least(sw_ratio * 5.0, 1.0) * 0.3
+           + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+           + (CASE WHEN mean_word_len >= 2.5 AND mean_word_len <= 10.0
+                   THEN 1.0 ELSE 0.0 END) * 0.1, 6) AS q_score
+FROM g
+"""
 
 
 def q_curation_pipeline(spark, sf_dir):
@@ -760,6 +808,27 @@ SELECT doc_id,
 FROM documents
 """
 
+# argmax with the engine's tie-break (iteration in sorted(lang) order with
+# strict >) == earliest language code attaining the max, 'und' when max<=0
+_LANG_ID_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id,
+         {_sw_ratio_sql(_SW["de"])} AS r_de,
+         {_sw_ratio_sql(_SW["en"])} AS r_en,
+         {_sw_ratio_sql(_SW["es"])} AS r_es,
+         {_sw_ratio_sql(_SW["fr"])} AS r_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(r_de, r_en, r_es, r_fr) <= 0 THEN 'und'
+            WHEN r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
+            WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+            WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+            ELSE 'fr' END AS detected_lang,
+       round(greatest(greatest(r_de, r_en, r_es, r_fr), 0.0), 6) AS lang_score
+FROM r
+"""
+
 _TOKEN_COUNT_ORACLE = f"""
 SELECT doc_id,
        len(list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')) AS n_tokens,
@@ -842,6 +911,8 @@ def oracle_sql() -> dict[str, str]:
         "stopword_ratio": _STOPWORD_ORACLE,
         "token_counts": _TOKEN_COUNT_ORACLE,
         "curation_pipeline": _CURATION_ORACLE,
+        "lang_id": _LANG_ID_ORACLE,
+        "quality_scores": _QUALITY_ORACLE,
         # rows-only (non-SQL-portable): minhash_lsh_near_dups,
         # simhash_near_dups, ann_lsh_topk, lang_id, quality_scores,
         # multimodal_features

@@ -237,3 +237,22 @@ def test_merge_mixed_matched_and_new_keys(spark, warehouse):
     rows = [(r.k, r.v) for r in t.read().orderBy("k").collect()]
     assert rows == [("a", 2), ("b", 9)]
     assert t.read().groupBy("k").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_concurrent_appends_retry(spark, warehouse):
+    """Two writers racing on the same snapshot version: the loser retries
+    against the new snapshot; both rows land."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+
+    def write(i):
+        t.append(_df(spark, [(f"w{i}", i)]))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(write, [1, 2]))
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {("w1", 1), ("w2", 2)}
+    # orphaned loser files (if any) are reclaimable without data loss
+    t.expire_snapshots(keep_last=1)
+    assert {(r.k, r.v) for r in t.read().collect()} == got
