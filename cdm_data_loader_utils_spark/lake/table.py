@@ -613,7 +613,7 @@ class LakeTable:
         bucket = self._bucket_expr(snap)
         if bucket is not None:
             df = df.repartition(
-                max(1, int(snap["bucket_count"]) * target_files_per_bucket // 1), bucket
+                max(1, int(snap["bucket_count"]) * target_files_per_bucket), bucket
             )
         new_files = self._write_files(_align_to_schema(df, self.schema(snap)), snap, sid)
         nxt = self._next_snap(snap, "compact", new_files, {"compacted": True}, None)

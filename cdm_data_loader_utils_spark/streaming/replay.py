@@ -63,7 +63,12 @@ def apply_batch(
     salt_buckets: int = 32,
 ) -> BatchResult:
     """Apply one micro-batch idempotently. Safe to call twice with the same
-    (run_id, batch_id): the second call is fenced out by the snapshot log."""
+    (run_id, batch_id): the second call is fenced out by the snapshot log.
+
+    ``salt_buckets`` is kept for API stability but unused by the default
+    dedup: :func:`lww_dedup_agg`'s map-side partial aggregation already
+    neutralizes hot keys, so no explicit salting pass is needed (swap in
+    ``lww_dedup_salted`` here to compare strategies)."""
     fence_key = f"{run_id}:{batch_id}"
     fenced = table.is_fenced(fence_key)
     if fenced is not None:
