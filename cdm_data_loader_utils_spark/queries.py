@@ -745,6 +745,28 @@ FROM kept GROUP BY source
 """
 
 
+def q_rolling_fingerprints(spark, sf_dir):
+    """Per-document rolling shingle fingerprints for substring-level dup
+    detection; the hash values are engine-side (xxhash64) but the distinct
+    shingle COUNT is oracle-checked."""
+    d = load(spark, sf_dir, "documents")
+    return TA.rolling_fingerprints(d, window=8).select(
+        F.col("doc_id"), F.size("fingerprints").alias("n_fingerprints")
+    )
+
+
+_ROLLING_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(list_distinct(list_filter(
+           list_transform(range(0, greatest(len(toks) - 8, 0) + 1),
+                          i -> array_to_string(toks[i+1:i+8], ' ')),
+           s -> s <> '')))
+       AS n_fingerprints
+FROM w
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload → feature-vector plumbing via mapInPandas (rows-only:
     synthetic media, no SQL equivalent)."""
@@ -875,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "curation_pipeline": q_curation_pipeline,
+        "rolling_fingerprints": q_rolling_fingerprints,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -913,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _CURATION_ORACLE,
         "lang_id": _LANG_ID_ORACLE,
         "quality_scores": _QUALITY_ORACLE,
+        "rolling_fingerprints": _ROLLING_ORACLE,
         # rows-only (non-SQL-portable): minhash_lsh_near_dups,
         # simhash_near_dups, ann_lsh_topk, lang_id, quality_scores,
         # multimodal_features
