@@ -72,10 +72,16 @@ class AuditStore:
                     "partition_id": pid, "snapshot_id": snapshot_id,
                 }
             )
+        # typed schema, not just names: a fully-rejected batch has every
+        # metric column None and name-only inference cannot type it
+        from pyspark.sql import types as T
+
+        log_schema = T.StructType(
+            [f for f in INGEST_LOG_SCHEMA.fields if f.name != "updated"]
+        )
         df = self.spark.createDataFrame(
-            [tuple(r.get(f.name) for f in INGEST_LOG_SCHEMA.fields if f.name != "updated")
-             for r in rows],
-            schema=[f.name for f in INGEST_LOG_SCHEMA.fields if f.name != "updated"],
+            [tuple(r.get(f.name) for f in log_schema.fields) for r in rows],
+            schema=log_schema,
         ).withColumn("updated", now)
         self.ingest_log.append(df)
 

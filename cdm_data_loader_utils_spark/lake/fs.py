@@ -1,0 +1,221 @@
+"""Pluggable filesystem layer for the lake-table format.
+
+The snapshot log and data-file maintenance need a handful of *metadata*
+operations (list, read/write a small JSON, delete, atomic-exclusive commit).
+Round 1 hard-wired these to POSIX ``os`` calls, which confines the table to a
+single node. This module routes them through a small interface with two
+implementations:
+
+* :class:`LocalFilesystem` — plain-path tables; atomic commit via the
+  write-tmp-then-``os.link`` trick (content-complete AND create-exclusive).
+* :class:`HadoopFilesystem` — any URI Hadoop can mount (``hdfs://``,
+  ``s3a://``, ``file://``, ``abfs://`` …) through Spark's JVM gateway, i.e.
+  the exact FileSystem objects the executors already use. Atomic commit via
+  write-tmp-then-``rename``: on HDFS ``rename`` atomically refuses an
+  existing destination, which is the same primitive Delta's HDFSLogStore
+  relies on. Object stores without atomic rename-if-absent (plain S3) need an
+  external lock service for multi-writer commits — the identical caveat as
+  Delta/Iceberg on S3 — single-writer pipelines (the reference's deployment
+  shape, ``/root/reference/src/cdm_data_loader_utils/audit/run.py:33-114``
+  runs one loader at a time) are safe as-is.
+
+Everything *data-sized* (parquet rows) always moves through Spark itself —
+this layer never reads or writes table data, only O(files-per-commit) names
+and O(KB) manifests, so driver metadata cost stays flat at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+import shutil
+import uuid
+from typing import Iterator
+
+
+def is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def filesystem_for(spark, path: str):
+    """Pick the filesystem implementation for a table root path."""
+    if is_uri(path):
+        return HadoopFilesystem(spark, path)
+    return LocalFilesystem()
+
+
+class LocalFilesystem:
+    """POSIX implementation — the fast path for plain local paths."""
+
+    def normalize(self, path: str) -> str:
+        return os.path.abspath(path)
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def list_names(self, path: str) -> list[str]:
+        try:
+            return os.listdir(path)
+        except FileNotFoundError:
+            return []
+
+    def walk_files(self, path: str) -> Iterator[str]:
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                yield os.path.join(root, fn)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text_exclusive(self, path: str, data: str) -> None:
+        """Write full content, then atomically link into place.
+
+        ``os.link`` fails with FileExistsError if a concurrent writer won the
+        race — readers can never observe a partial file."""
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
+
+    def delete(self, path: str) -> None:
+        os.unlink(path)
+
+    def delete_dir(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def mtime_ms(self, path: str) -> int:
+        return int(os.stat(path).st_mtime * 1000)
+
+    def spark_path(self, path: str) -> str:
+        """Form of ``path`` that ``spark.read`` / ``df.write`` accept."""
+        return path
+
+    def fs_path(self, path: str) -> str:
+        """Plain path component (what a decoded ``input_file_name`` yields)."""
+        return path
+
+
+class HadoopFilesystem:
+    """Hadoop FileSystem implementation via Spark's JVM gateway.
+
+    Works for every scheme on the cluster's classpath; the driver calls the
+    same FileSystem code the executors use, so a table created at
+    ``hdfs://nn/warehouse/t`` needs zero repo changes. Only metadata-scale
+    traffic crosses py4j (file names + small JSON manifests)."""
+
+    def __init__(self, spark, base_uri: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._Path(base_uri).getFileSystem(self._conf)
+
+    def _p(self, path: str):
+        return self._Path(path)
+
+    def normalize(self, path: str) -> str:
+        return path.rstrip("/")
+
+    def join(self, *parts: str) -> str:
+        return posixpath.join(*parts)
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def is_dir(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory())
+
+    def list_names(self, path: str) -> list[str]:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+    def walk_files(self, path: str) -> Iterator[str]:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return
+        it = self._fs.listFiles(p, True)  # recursive RemoteIterator
+        while it.hasNext():
+            yield it.next().getPath().toString()
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            # commons-io ships with hadoop-client; one call instead of a
+            # byte-array loop across py4j
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text_exclusive(self, path: str, data: str) -> None:
+        target = self._p(path)
+        if self._fs.exists(target):
+            raise FileExistsError(path)
+        tmp = self._p(path + f".tmp.{uuid.uuid4().hex}")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+        # HDFS rename atomically refuses an existing destination (the
+        # HDFSLogStore primitive); the exists() pre-check above narrows the
+        # window on FS impls whose rename clobbers (raw local)
+        if not self._fs.rename(tmp, target):
+            self._fs.delete(tmp, False)
+            raise FileExistsError(path)
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._p(path), False)
+
+    def delete_dir(self, path: str) -> None:
+        self._fs.delete(self._p(path), True)
+
+    def mtime_ms(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._p(path)).getModificationTime())
+
+    def spark_path(self, path: str) -> str:
+        return path
+
+    def fs_path(self, path: str) -> str:
+        from urllib.parse import urlparse
+
+        return urlparse(path).path if is_uri(path) else path
+
+
+def read_json_with_retry(fs, path: str, attempts: int = 5) -> dict:
+    """Read a manifest defensively: on stores whose create isn't
+    content-atomic a reader could glimpse a partial file mid-commit; a parse
+    failure here is retried briefly before surfacing."""
+    import time
+
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            return json.loads(fs.read_text(path))
+        except json.JSONDecodeError as e:  # pragma: no cover - race window
+            last = e
+            time.sleep(0.05 * (i + 1))
+    raise last  # pragma: no cover

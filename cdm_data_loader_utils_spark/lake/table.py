@@ -21,27 +21,37 @@ itself* from first principles — the same design space as Iceberg v2:
   columns become typed nulls, widened columns are cast);
 * **commit fencing**: each commit may carry a fence key
   (``run_id:batch_id``); replayed micro-batches are skipped — the
-  exactly-once half of the foreachBatch contract.
+  exactly-once half of the foreachBatch contract. The fence is re-checked on
+  every optimistic-retry attempt, so two racing writers with the same fence
+  key apply the batch exactly once.
 
 Scale notes (100 TB / 10^10 events): all data movement is executor-side
-DataFrame work; the driver touches only file *names* (O(files-per-commit)).
-MERGE cost is bounded by the bucket fan-in of the incoming key set, not table
-size. At 1000 executors the bucket count is the knob (``bucket_count`` ≫
-executor count); the snapshot log stays O(commits) and is trivially compacted
-by ``expire_snapshots``.
+DataFrame work; the driver touches only file *names* (O(files-per-commit)),
+routed through the pluggable filesystem layer (:mod:`.fs`) so the same code
+runs on POSIX paths, ``hdfs://`` and ``s3a://`` URIs. Data files are written
+directly to their final immutable commit directory (no staging renames — the
+pattern object-store committers require), and per-file row counts come from a
+metadata-only Spark count job (zero data columns scanned), never from
+driver-side footer reads. MERGE cost is bounded by the bucket fan-in of the
+incoming key set, not table size. At 1000 executors the bucket count is the
+knob (``bucket_count`` ≫ executor count); the snapshot log stays O(commits)
+and is trivially compacted by ``expire_snapshots``.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import time
 import uuid
 from dataclasses import dataclass
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .fs import LocalFilesystem, filesystem_for, is_uri, read_json_with_retry
 
 # hidden columns carried in data files but excluded from user reads
 META_LSN = "__lsn"
@@ -50,6 +60,12 @@ _META_COLS = (META_LSN, META_DELETED)
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_BUCKET_COL = "__bucket"
+
+# max distinct incoming keys the MERGE existence probe will broadcast; above
+# this (or when unknown) it falls back to a shuffled semi-join — a 2%-of-table
+# batch at 10^10 rows must never be collected to the driver
+BROADCAST_PROBE_MAX_ROWS = 1_000_000
 
 # widening lattice for schema evolution (reference analogue: mergeSchema=true
 # appends, utils/spark_delta.py:195-196)
@@ -98,12 +114,28 @@ def _schema_from_json(s: str) -> T.StructType:
     return T.StructType.fromJson(json.loads(s))
 
 
-class LakeTable:
-    """Versioned, bucketed, MERGE-capable table over parquet + JSON log."""
+def _bucket_from_rel(rel: str) -> int | None:
+    """Bucket id encoded in a file's partition directory, if any."""
+    for comp in rel.split("/"):
+        if comp.startswith(f"{_BUCKET_COL}="):
+            return int(comp.split("=", 1)[1])
+    return None
 
-    def __init__(self, spark: SparkSession, path: str):
+
+class LakeTable:
+    """Versioned, bucketed, MERGE-capable table over parquet + JSON log.
+
+    ``path`` may be a plain local path or any filesystem URI Spark's Hadoop
+    classpath can mount (``file://``, ``hdfs://``, ``s3a://`` …); driver-side
+    metadata ops route through :mod:`.fs` accordingly.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, fs=None):
         self.spark = spark
-        self.path = os.path.abspath(path)
+        self.fs = fs if fs is not None else filesystem_for(spark, path)
+        self.path = self.fs.normalize(path)
+        # plain path component of the root, for input_file_name() mapping
+        self._root_fs_path = self.fs.fs_path(self.path)
 
     # ------------------------------------------------------------- creation
     @classmethod
@@ -115,10 +147,11 @@ class LakeTable:
         bucket_by: str | None = None,
         bucket_count: int = 16,
         properties: dict | None = None,
+        fs=None,
     ) -> "LakeTable":
-        t = cls(spark, path)
-        os.makedirs(os.path.join(t.path, _LOG_DIR), exist_ok=True)
-        os.makedirs(os.path.join(t.path, _DATA_DIR), exist_ok=True)
+        t = cls(spark, path, fs=fs)
+        t.fs.mkdirs(t.fs.join(t.path, _LOG_DIR))
+        t.fs.mkdirs(t.fs.join(t.path, _DATA_DIR))
         if t._latest_version() is not None:
             raise FileExistsError(f"table already exists at {path}")
         # nullability is a validated constraint, not a storage property (the
@@ -144,39 +177,46 @@ class LakeTable:
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
-        t = cls(spark, path)
+    def load(cls, spark: SparkSession, path: str, fs=None) -> "LakeTable":
+        t = cls(spark, path, fs=fs)
         if t._latest_version() is None:
             raise FileNotFoundError(f"no lake table at {path}")
         return t
 
     @classmethod
-    def exists(cls, path: str) -> bool:
-        log = os.path.join(os.path.abspath(path), _LOG_DIR)
-        return os.path.isdir(log) and any(
-            f.startswith("v") and f.endswith(".json") for f in os.listdir(log)
+    def exists(cls, path: str, spark: SparkSession | None = None, fs=None) -> bool:
+        if fs is None:
+            if is_uri(path):
+                if spark is None:
+                    spark = SparkSession.getActiveSession()
+                fs = filesystem_for(spark, path)
+            else:
+                fs = LocalFilesystem()
+        log = fs.join(fs.normalize(path), _LOG_DIR)
+        return any(
+            f.startswith("v") and f.endswith(".json") for f in fs.list_names(log)
         )
 
     # ------------------------------------------------------------ log access
     def _log_path(self, version: int) -> str:
-        return os.path.join(self.path, _LOG_DIR, f"v{version:020d}.json")
+        return self.fs.join(self.path, _LOG_DIR, f"v{version:020d}.json")
 
     def _latest_version(self) -> int | None:
-        log = os.path.join(self.path, _LOG_DIR)
-        if not os.path.isdir(log):
-            return None
-        versions = [
-            int(f[1:-5]) for f in os.listdir(log)
-            if f.startswith("v") and f.endswith(".json")
-        ]
+        versions = self._versions()
         return max(versions) if versions else None
+
+    def _versions(self) -> list[int]:
+        log = self.fs.join(self.path, _LOG_DIR)
+        return sorted(
+            int(f[1:-5]) for f in self.fs.list_names(log)
+            if f.startswith("v") and f.endswith(".json")
+        )
 
     def snapshot(self, snapshot_id: int | None = None) -> dict:
         v = snapshot_id if snapshot_id is not None else self._latest_version()
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
-        with open(self._log_path(v)) as f:
-            return json.load(f)
+        return read_json_with_retry(self.fs, self._log_path(v))
 
     @property
     def snapshot_id(self) -> int:
@@ -185,30 +225,18 @@ class LakeTable:
         return v
 
     def history(self) -> list[dict]:
-        log = os.path.join(self.path, _LOG_DIR)
-        out = []
-        for f in sorted(os.listdir(log)):
-            if f.startswith("v") and f.endswith(".json"):
-                with open(os.path.join(log, f)) as fh:
-                    out.append(json.load(fh))
-        return out
+        return [self.snapshot(v) for v in self._versions()]
 
     def _commit(self, snap: dict) -> int:
         """Atomic create-exclusive commit — optimistic concurrency control."""
-        target = self._log_path(snap["snapshot_id"])
-        tmp = target + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, target)  # fails if a concurrent writer won the race
+            self.fs.write_text_exclusive(
+                self._log_path(snap["snapshot_id"]), json.dumps(snap)
+            )
         except FileExistsError as e:
             raise CommitConflictError(
                 f"snapshot {snap['snapshot_id']} already committed"
             ) from e
-        finally:
-            os.unlink(tmp)
         return snap["snapshot_id"]
 
     # -------------------------------------------------------------- schema
@@ -233,7 +261,7 @@ class LakeTable:
         cur = self.schema(snap)
         groups: dict[int, list[str]] = {}
         for fe in (FileEntry.from_json(d) for d in snap["files"]):
-            groups.setdefault(fe.schema_id, []).append(os.path.join(self.path, fe.path))
+            groups.setdefault(fe.schema_id, []).append(self.fs.join(self.path, fe.path))
         parts: list[DataFrame] = []
         for sid, paths in groups.items():
             file_schema = _schema_from_json(snap["schemas"][str(sid)])
@@ -269,69 +297,61 @@ class LakeTable:
         n = int(snap["bucket_count"])
         return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
 
+    def _uri_to_rel(self, uri: str) -> str:
+        """Map a Spark file URI (``input_file_name()`` / Hadoop Path string —
+        possibly percent-encoded) to a table-root-relative path.
+
+        Decodes before comparing so table roots containing spaces, ``%`` or
+        non-ASCII characters resolve correctly (a raw-vs-encoded mismatch
+        here silently turned every merge into an insert for such paths)."""
+        parsed = urlparse(uri)
+        p = unquote(parsed.path) if parsed.scheme else uri
+        return posixpath.relpath(p, self._root_fs_path)
+
     def _write_files(self, df: DataFrame, snap: dict, schema_id: int) -> list[FileEntry]:
         """Write df as immutable parquet files, hash-bucketed if configured.
 
-        Bucket membership is encoded in the file *name* (``b<k>-…``), not in
-        hive-style dirs, so later explicit-file reads never trigger partition
-        inference. Files are recorded in the snapshot with per-file row counts
-        (parquet footer, driver-side metadata only)."""
-        import pyarrow.parquet as pq
-
+        Files land directly in their final per-commit directory — no staging
+        renames (renames are copies on object stores) and no driver-side
+        footer reads: per-file row counts come from a metadata-only Spark
+        count job (zero data columns → the parquet reader answers from row
+        group headers, executor-side). Zero-row files simply never appear in
+        the count output and are left unreferenced for ``expire_snapshots``.
+        """
         commit_uid = uuid.uuid4().hex[:12]
-        staging = os.path.join(self.path, _DATA_DIR, f"_staging_{commit_uid}")
+        final_dir = self.fs.join(self.path, _DATA_DIR, commit_uid)
         bucket = self._bucket_expr(snap)
         if bucket is not None:
             # shuffle by bucket first so each task owns whole buckets —
             # otherwise partitionBy writes (tasks × buckets) tiny files and
-            # the per-file footer/metadata cost dominates the commit
+            # the per-file metadata cost dominates the commit
             n_out = int(snap.get("bucket_count") or 16)
             (
-                df.withColumn("__bucket", bucket)
-                .repartition(n_out, "__bucket")
-                .write.partitionBy("__bucket")
-                .parquet(staging, mode="overwrite")
+                df.withColumn(_BUCKET_COL, bucket)
+                .repartition(n_out, _BUCKET_COL)
+                .write.partitionBy(_BUCKET_COL)
+                .parquet(self.fs.spark_path(final_dir))
             )
         else:
-            df.write.parquet(staging, mode="overwrite")
-        final_dir = os.path.join(self.path, _DATA_DIR, commit_uid)
-        os.makedirs(final_dir, exist_ok=True)
-        todo: list[tuple[str, str, int | None]] = []
-        for root, _dirs, files in os.walk(staging):
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, fn)
-                b: int | None = None
-                comp = os.path.basename(root)
-                if comp.startswith("__bucket="):
-                    b = int(comp.split("=", 1)[1])
-                dst_name = (f"b{b}-{fn}" if b is not None else fn)
-                todo.append((src, os.path.join(final_dir, dst_name), b))
-
-        def _finalize(item: tuple[str, str, int | None]) -> FileEntry | None:
-            src, dst, b = item
-            os.rename(src, dst)
-            rows = pq.ParquetFile(dst).metadata.num_rows
-            if rows == 0:
-                os.unlink(dst)
-                return None
-            return FileEntry(
-                path=os.path.relpath(dst, self.path),
-                bucket=b,
-                schema_id=schema_id,
-                rows=rows,
+            df.write.parquet(self.fs.spark_path(final_dir))
+        files = [
+            p for p in self.fs.walk_files(final_dir) if p.endswith(".parquet")
+        ]
+        if not files:
+            return []
+        counts = (
+            self.spark.read.schema(df.schema)
+            .parquet(*[self.fs.spark_path(p) for p in files])
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(F.count(F.lit(1)).alias("__rows"))
+            .collect()
+        )
+        entries = []
+        for r in counts:
+            rel = self._uri_to_rel(r["__f"])
+            entries.append(
+                FileEntry(rel, _bucket_from_rel(rel), schema_id, int(r["__rows"]))
             )
-
-        # footer reads + renames are per-file driver metadata work; run them
-        # on a thread pool so commit latency stays flat as bucket_count grows
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            entries = [fe for fe in pool.map(_finalize, todo) if fe is not None]
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
         return entries
 
     def _next_snap(self, base: dict, operation: str, files: list[FileEntry],
@@ -374,9 +394,11 @@ class LakeTable:
     def _retry_commit(self, fn, max_retries: int = 5) -> int:
         """Optimistic-concurrency loop: on a snapshot-version race, re-read
         the log and re-apply the operation against the new current snapshot.
-        Losers' staged data files become orphans, reclaimed by
-        :meth:`expire_snapshots` (the same recovery model as Iceberg's
-        commit retries)."""
+        Each attempt re-reads the snapshot first, so its fence check also
+        re-runs — a loser whose fence key was just committed by the winner
+        returns the winner's snapshot instead of double-applying. Losers'
+        orphaned data files are reclaimed by :meth:`expire_snapshots` (the
+        same recovery model as Iceberg's commit retries)."""
         attempt = 0
         while True:
             try:
@@ -387,6 +409,12 @@ class LakeTable:
                 time.sleep(0.05 * (2 ** attempt))
                 attempt += 1
 
+    def _fence_hit(self, snap: dict, fence_key: str | None) -> int | None:
+        if fence_key is None:
+            return None
+        v = snap["fences"].get(fence_key)
+        return int(v) if v is not None else None
+
     def append(self, df: DataFrame, summary: dict | None = None,
                fence_key: str | None = None) -> int:
         return self._retry_commit(lambda: self._append_once(df, summary, fence_key))
@@ -394,6 +422,9 @@ class LakeTable:
     def _append_once(self, df: DataFrame, summary: dict | None = None,
                      fence_key: str | None = None) -> int:
         snap = self.snapshot()
+        fenced = self._fence_hit(snap, fence_key)
+        if fenced is not None:
+            return fenced
         aligned, schemas, sid = self._prepare_write(df, snap)
         new_files = self._write_files(aligned, snap, sid)
         existing = [FileEntry.from_json(d) for d in snap["files"]]
@@ -411,6 +442,9 @@ class LakeTable:
     def _overwrite_once(self, df: DataFrame, summary: dict | None = None,
                         fence_key: str | None = None) -> int:
         snap = self.snapshot()
+        fenced = self._fence_hit(snap, fence_key)
+        if fenced is not None:
+            return fenced
         aligned, schemas, sid = self._prepare_write(df, snap)
         new_files = self._write_files(aligned, snap, sid)
         nxt = self._next_snap(
@@ -450,9 +484,33 @@ class LakeTable:
         Scale: only parquet files whose bucket intersects the incoming key
         set AND that actually contain a matching key are rewritten; all other
         files carry forward as metadata. The existence probe and the rewrite
-        are executor-side joins (broadcast when the batch is small).
+        are executor-side joins (broadcast only when the batch is provably
+        small — see ``BROADCAST_PROBE_MAX_ROWS``). Retries on snapshot races
+        with per-attempt fence re-check, same as append.
         """
+        return self._retry_commit(
+            lambda: self._merge_once(
+                source, key_cols, lsn_col, op_col, summary, fence_key,
+                touched_buckets, incoming_rows, dense_probe_ratio,
+            )
+        )
+
+    def _merge_once(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        lsn_col: str,
+        op_col: str,
+        summary: dict | None,
+        fence_key: str | None,
+        touched_buckets: set[int] | None,
+        incoming_rows: int | None,
+        dense_probe_ratio: float,
+    ) -> int:
         snap = self.snapshot()
+        fenced = self._fence_hit(snap, fence_key)
+        if fenced is not None:
+            return fenced
         table_schema = self.schema(snap)
         user_fields = [f for f in table_schema.fields if f.name not in _META_COLS]
 
@@ -518,13 +576,15 @@ class LakeTable:
             affected = candidates
             carried = [fe for fe in existing if fe not in candidates]
         elif candidates:
-            from urllib.parse import urlparse
-
             tgt = self._read_files(snap, candidates, with_file_col=True)
             keyed_src = src.select(*key_cols).distinct()
+            # broadcast only when the batch row count is known AND small; a
+            # "sparse" batch at 10^10-row scale can still dwarf driver memory
+            if incoming_rows is not None and incoming_rows <= BROADCAST_PROBE_MAX_ROWS:
+                keyed_src = F.broadcast(keyed_src)
             hit_files = {
-                os.path.relpath(urlparse(r[0]).path, self.path)
-                for r in tgt.join(F.broadcast(keyed_src), on=key_cols, how="leftsemi")
+                self._uri_to_rel(r[0])
+                for r in tgt.join(keyed_src, on=key_cols, how="leftsemi")
                 .select("__file")
                 .distinct()
                 .collect()
@@ -580,11 +640,11 @@ class LakeTable:
         cur = self.schema(snap)
         groups: dict[int, list[str]] = {}
         for fe in entries:
-            groups.setdefault(fe.schema_id, []).append(os.path.join(self.path, fe.path))
+            groups.setdefault(fe.schema_id, []).append(self.fs.join(self.path, fe.path))
         parts = []
         for sid, paths in groups.items():
-            fs = _schema_from_json(snap["schemas"][str(sid)])
-            df = self.spark.read.schema(fs).parquet(*paths)
+            fs_schema = _schema_from_json(snap["schemas"][str(sid)])
+            df = self.spark.read.schema(fs_schema).parquet(*paths)
             if with_file_col:
                 df = df.withColumn("__file", F.input_file_name())
             target = cur if not with_file_col else T.StructType(
@@ -619,14 +679,17 @@ class LakeTable:
         nxt = self._next_snap(snap, "compact", new_files, {"compacted": True}, None)
         return self._commit(nxt)
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(self, keep_last: int = 1,
+                         grace_seconds: float = 600.0) -> int:
         """Drop old snapshot JSONs and unreferenced data files (reference
-        VACUUM analogue, ``core/spark_delta.py:152-157``)."""
-        log = os.path.join(self.path, _LOG_DIR)
-        versions = sorted(
-            int(f[1:-5]) for f in os.listdir(log)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        VACUUM analogue, ``core/spark_delta.py:152-157``).
+
+        Safe to run concurrently with writers: files younger than
+        ``grace_seconds`` are never deleted (Iceberg's older-than rule) —
+        an in-flight commit's freshly written, not-yet-referenced files
+        survive; nor is anything under a legacy ``_staging_`` directory.
+        """
+        versions = self._versions()
         keep = set(versions[-keep_last:])
         live: set[str] = set()
         for v in keep:
@@ -635,14 +698,19 @@ class LakeTable:
         removed = 0
         for v in versions:
             if v not in keep:
-                os.unlink(self._log_path(v))
-        data_root = os.path.join(self.path, _DATA_DIR)
-        for root, _dirs, files in os.walk(data_root):
-            for fn in files:
-                p = os.path.join(root, fn)
-                if os.path.relpath(p, self.path) not in live:
-                    os.unlink(p)
-                    removed += 1
+                self.fs.delete(self._log_path(v))
+        data_root = self.fs.join(self.path, _DATA_DIR)
+        cutoff_ms = (time.time() - grace_seconds) * 1000
+        for p in self.fs.walk_files(data_root):
+            rel = self._uri_to_rel(p)
+            if rel in live:
+                continue
+            if any(comp.startswith("_staging_") for comp in rel.split("/")):
+                continue
+            if self.fs.mtime_ms(p) > cutoff_ms:
+                continue
+            self.fs.delete(p)
+            removed += 1
         return removed
 
 

@@ -42,18 +42,23 @@ def classify_changes(
     Output: key columns, old/new value columns (prefixed), ``change_type``.
     """
     o = old.select(
-        *key_cols, *[F.col(c).alias(f"old_{c}") for c in value_cols]
+        *key_cols,
+        *[F.col(c).alias(f"old_{c}") for c in value_cols],
+        F.lit(True).alias("__old_present"),
     ).alias("o")
     n = new.select(
-        *key_cols, *[F.col(c).alias(f"new_{c}") for c in value_cols]
+        *key_cols,
+        *[F.col(c).alias(f"new_{c}") for c in value_cols],
+        F.lit(True).alias("__new_present"),
     ).alias("n")
     joined = o.join(n, on=key_cols, how="full_outer")
-    old_present = F.coalesce(
-        *[F.col(f"old_{c}").isNotNull() for c in value_cols], F.lit(False)
-    )
-    new_present = F.coalesce(
-        *[F.col(f"new_{c}").isNotNull() for c in value_cols], F.lit(False)
-    )
+    # presence comes from explicit join markers, NOT from value-column
+    # null-ness: a row legitimately present with an all-null payload must
+    # still count as present (the reference never hits this because its
+    # single hash column is guaranteed non-null, snapshot_utils.py:37-61 —
+    # this generalization has to handle nullable value columns)
+    old_present = F.coalesce(F.col("__old_present"), F.lit(False))
+    new_present = F.coalesce(F.col("__new_present"), F.lit(False))
     any_diff = None
     for c in value_cols:
         d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
@@ -64,7 +69,9 @@ def classify_changes(
         .when(any_diff, F.lit(CHANGE_UPDATED))
         .otherwise(F.lit(CHANGE_UNCHANGED))
     )
-    return joined.withColumn("change_type", change)
+    return joined.withColumn("change_type", change).drop(
+        "__old_present", "__new_present"
+    )
 
 
 def diff_snapshots(

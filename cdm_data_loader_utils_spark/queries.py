@@ -88,7 +88,14 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = events_as_changes(spark, sf_dir).withColumn(
         "batch_id", F.pmod(F.col("lsn"), F.lit(4)).cast("long")
     )
+    # the returned DataFrame lazily reads the table files, so the dir must
+    # outlive this call — register cleanup at interpreter exit instead of
+    # leaking one table copy per invocation
+    import atexit
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="replay_entry_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     from pyspark.sql import types as T
 
     schema = T.StructType(

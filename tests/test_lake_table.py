@@ -182,7 +182,9 @@ def test_compact_and_expire(spark, warehouse):
     t.compact()
     assert len(t.snapshot()["files"]) < n_before
     assert t.read().count() == 4
-    removed = t.expire_snapshots(keep_last=1)
+    # grace_seconds=0: this test owns the table exclusively — the default
+    # grace period protects concurrent writers' in-flight files
+    removed = t.expire_snapshots(keep_last=1, grace_seconds=0)
     assert removed > 0
     assert t.read().count() == 4
     assert len(t.history()) == 1
@@ -254,5 +256,108 @@ def test_concurrent_appends_retry(spark, warehouse):
     got = {(r.k, r.v) for r in t.read().collect()}
     assert got == {("w1", 1), ("w2", 2)}
     # orphaned loser files (if any) are reclaimable without data loss
-    t.expire_snapshots(keep_last=1)
+    t.expire_snapshots(keep_last=1, grace_seconds=0)
     assert {(r.k, r.v) for r in t.read().collect()} == got
+
+
+def test_table_on_hadoop_file_uri(spark, warehouse):
+    """The FS layer must run the whole lifecycle over a Hadoop FileSystem
+    (file:// here; same code path mounts hdfs:// / s3a:// on a cluster)."""
+    uri = "file://" + os.path.join(warehouse, "hadoop_t")
+    t = LakeTable.create(spark, uri, SCHEMA, bucket_by="k", bucket_count=2)
+    assert LakeTable.exists(uri, spark=spark)
+    t.append(_df(spark, [("a", 1), ("b", 2)]))
+    src_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    t.merge_cdc(
+        spark.createDataFrame([("a", 100, "u", 10), ("c", 3, "i", 11)], src_schema),
+        key_cols=["k"],
+    )
+    t2 = LakeTable.load(spark, uri)
+    got = {(r.k, r.v) for r in t2.read().collect()}
+    assert got == {("a", 100), ("b", 2), ("c", 3)}
+    removed = t2.expire_snapshots(keep_last=1, grace_seconds=0)
+    assert removed >= 0
+    assert {(r.k, r.v) for r in t2.read().collect()} == got
+
+
+def test_merge_path_with_space_and_percent(spark, warehouse):
+    """Regression: input_file_name() returns percent-encoded URIs; the merge
+    existence probe must decode before comparing, or every matched key is
+    re-inserted as a duplicate on tables whose path needs encoding."""
+    t = LakeTable.create(
+        spark,
+        os.path.join(warehouse, "odd dir %41", "t"),
+        SCHEMA,
+        bucket_by="k",
+        bucket_count=2,
+    )
+    src_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    t.merge_cdc(
+        spark.createDataFrame([("a", 1, "i", 1), ("b", 2, "i", 2)], src_schema),
+        key_cols=["k"],
+    )
+    t.merge_cdc(
+        spark.createDataFrame([("a", 9, "u", 3)], src_schema), key_cols=["k"]
+    )
+    rows = [(r.k, r.v) for r in t.read().orderBy("k").collect()]
+    assert rows == [("a", 9), ("b", 2)]
+    dup = t.read().groupBy("k").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+
+
+def test_concurrent_same_fence_applies_once(spark, warehouse):
+    """Two writers racing with the SAME fence key: the commit-retry loop must
+    re-check the fence map per attempt so the loser skips instead of
+    double-applying (exactly-once contract)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+
+    def write(i):
+        return t.append(_df(spark, [("dup", i)]), fence_key="run:7")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        sids = list(pool.map(write, [1, 2]))
+    assert t.read().count() == 1
+    # both callers resolve to the one snapshot that carries the fence
+    assert len({t.is_fenced("run:7")}) == 1
+    assert t.is_fenced("run:7") in sids
+
+
+def test_same_fence_sequential_skips(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    s1 = t.append(_df(spark, [("a", 1)]), fence_key="r:0")
+    s2 = t.append(_df(spark, [("a", 2)]), fence_key="r:0")
+    assert s1 == s2
+    assert [(r.k, r.v) for r in t.read().collect()] == [("a", 1)]
+    # merge path honors the same contract
+    src_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    m1 = t.merge_cdc(
+        spark.createDataFrame([("z", 1, "i", 1)], src_schema),
+        key_cols=["k"], fence_key="r:1",
+    )
+    m2 = t.merge_cdc(
+        spark.createDataFrame([("z", 999, "u", 2)], src_schema),
+        key_cols=["k"], fence_key="r:1",
+    )
+    assert m1 == m2
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", 1), ("z", 1)}
+
+
+def test_expire_grace_protects_fresh_orphans(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1)]))
+    t.overwrite(_df(spark, [("b", 2)]))  # orphans v2's files in v3
+    # default grace: freshly-written unreferenced files survive
+    assert t.expire_snapshots(keep_last=1) == 0
+    assert t.expire_snapshots(keep_last=1, grace_seconds=0) > 0
+    assert [(r.k, r.v) for r in t.read().collect()] == [("b", 2)]

@@ -62,6 +62,22 @@ def test_classify_changes(spark):
     assert {r[0] for r in removed_only(old, new, ["acc"]).collect()} == {"c"}
 
 
+def test_classify_changes_null_payload_presence(spark):
+    """Regression: a row PRESENT in one snapshot with an all-null payload
+    must classify by join presence, not payload null-ness — old-only rows
+    with null values are 'deleted', not 'updated'."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("acc", T.StringType()), T.StructField("sha", T.StringType())]
+    )
+    old = spark.createDataFrame([("a", None), ("b", "h2")], schema)
+    new = spark.createDataFrame([("b", None), ("c", None)], schema)
+    out = classify_changes(old, new, ["acc"], ["sha"])
+    got = {r["acc"]: r["change_type"] for r in out.collect()}
+    assert got == {"a": "deleted", "b": "updated", "c": "new"}
+
+
 def test_to_change_events_feeds_merge(spark):
     old = _snap(spark, [("a", "h1"), ("c", "h3")])
     new = _snap(spark, [("a", "h2"), ("b", "h5")])
