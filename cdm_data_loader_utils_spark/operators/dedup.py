@@ -12,17 +12,52 @@ here is pure DataFrame API (one or two shuffles, no Python in the hot path):
 * MinHash + LSH — k seeded xxhash64 min-signatures → bands → bucket join →
   verify (the scale path: candidate generation is linear, verification only
   touches bucket collisions);
-* SimHash — sign-aggregated 64-bit fingerprint, near-dup = small Hamming
+* SimHash — sign-aggregated 60-bit fingerprint, near-dup = small Hamming
   distance, candidate-blocked by rotated prefix bands.
 
-Determinism: every hash is ``xxhash64(seed, token)`` — no rand(), identical
-output at any parallelism.
+Determinism AND portability: the per-token hash basis is sha256-derived
+(one sha256 per distinct token, then a universal affine family
+``(a_i·x + b_i) mod p`` for the k MinHash functions), so the exact same
+values are computable in ANY engine with sha256 — the DuckDB correctness
+oracles re-derive signatures/fingerprints independently and the outputs
+hash-compare equal. No rand(), identical output at any parallelism.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Mersenne prime modulus for the affine MinHash family. Bases are 32-bit
+# (first 8 sha256 hex chars) and multipliers < 2^30, so a·x + b < 2^62 —
+# no 64-bit overflow in Spark (ANSI mode) or DuckDB (errors on overflow).
+MINHASH_PRIME = 2_147_483_647
+
+
+def portable_hash32(col: F.Column) -> F.Column:
+    """First 32 bits of sha256 as a long — identical to DuckDB's
+    ``CAST(concat('0x', substr(sha256(x),1,8)) AS BIGINT)``."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash60(col: F.Column) -> F.Column:
+    """First 60 bits of sha256 as a long (15 hex chars) — fits a signed
+    64-bit integer in every engine, no unsigned-wraparound mismatch."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+def affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal family h_i(x) = (a_i·x +
+    b_i) mod p, derived from sha256 of the index — reproducible in any
+    language, no RNG state."""
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.sha256(f"minhash-a-{i}".encode()).hexdigest()[:8], 16)
+        b = int(hashlib.sha256(f"minhash-b-{i}".encode()).hexdigest()[:8], 16)
+        out.append((a % (1 << 30) + 1, b % MINHASH_PRIME))
+    return out
 
 
 def normalize_text(col: F.Column | str) -> F.Column:
@@ -105,17 +140,30 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 1, num_hashes: int = 64,
 ) -> DataFrame:
-    """k independent min-hashes per document, all JVM-side: for seed i the
-    signature element is min(xxhash64(i, shingle))."""
+    """k independent min-hashes per document, all JVM-side: ONE sha256 per
+    distinct shingle (the 32-bit base x), then k affine hashes
+    (a_i·x + b_i) mod p — cheaper than k independent strong hashes and
+    bit-for-bit reproducible in the DuckDB oracle."""
     sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+    based = sh.select(
+        "id", F.transform("sh", lambda s: portable_hash32(s)).alias("xs")
+    )
 
-    def _minhash(i: int) -> F.Column:
-        # closure, not `lambda s, i=i:` — a second lambda param would make
-        # pyspark pass the array INDEX as i, silently replacing the seed
-        return F.array_min(F.transform("sh", lambda s: F.xxhash64(F.lit(i), s)))
+    def _minhash(a: int, b: int) -> F.Column:
+        # closure, not `lambda x, a=a:` — a second lambda param would make
+        # pyspark pass the array INDEX as it, silently replacing the seed
+        return F.array_min(
+            F.transform(
+                "xs",
+                lambda x: F.pmod(
+                    F.lit(a).cast("long") * x + F.lit(b).cast("long"),
+                    F.lit(MINHASH_PRIME).cast("long"),
+                ),
+            )
+        )
 
-    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
-    return sh.select("id", sig.alias("sig"))
+    sig = F.array(*[_minhash(a, b) for a, b in affine_params(num_hashes)])
+    return based.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -220,44 +268,53 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash fingerprint per document.
+            bits: int = 60) -> DataFrame:
+    """60-bit SimHash fingerprint per document.
 
     Hybrid split along the guide's rule of thumb: token hashing stays
-    JVM-side (``xxhash64`` per distinct token, whole-stage codegen), and only
-    the bit-vote fold — which would need 64 separate array aggregates as pure
-    column exprs — runs as an Arrow-batched pandas UDF over the compact
-    ``array<long>`` of token hashes (numpy bit-unpack, vectorized).
-    Deterministic: same hashes, same integer votes, any parallelism."""
+    JVM-side (one sha256 per distinct token → 60-bit base, whole-stage
+    codegen, reproducible in the DuckDB oracle), and only the bit-vote fold
+    — which would need 60 separate array aggregates as pure column exprs —
+    runs as an Arrow-batched pandas UDF over the compact ``array<long>`` of
+    token hashes (numpy bit-unpack, vectorized across the whole batch).
+    Deterministic: same hashes, same integer votes, any parallelism.
+    60 bits (not 64) so the fingerprint stays positive in a signed int64 in
+    every engine."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    assert bits == 64, "simhash is fixed at 64 bits"
+    assert bits == 60, "simhash is fixed at 60 bits"
 
     # no type hints: `from __future__ import annotations` stringifies them
     # and pyspark can't resolve 'pd.Series' from a function-local import
     def _fold_impl(hashes):
-        out = np.empty(len(hashes), dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                out[i] = 0
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            # votes[b] = (#tokens with bit b set) - (#tokens with bit b unset)
-            bits_mat = (h[:, None] >> shifts) & np.uint64(1)
-            votes = 2 * bits_mat.sum(axis=0, dtype=np.int64) - len(h)
-            fp = np.uint64(0)
-            fp = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
-            out[i] = np.int64(fp.astype(np.uint64).view(np.int64))
-        return pd.Series(out)
+        # one flat bit-matrix for the WHOLE Arrow batch, segment-summed per
+        # document — no per-doc Python loop
+        n = len(hashes)
+        lens = np.fromiter(
+            (0 if hs is None else len(hs) for hs in hashes), dtype=np.int64, count=n
+        )
+        shifts = np.arange(60, dtype=np.uint64)
+        if int(lens.sum()) == 0:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        flat = np.concatenate(
+            [np.asarray(hs, dtype=np.int64) for hs in hashes if hs is not None and len(hs)]
+        ).astype(np.uint64)
+        bits_mat = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        seg = np.repeat(np.arange(n), lens)
+        sums = np.zeros((n, 60), dtype=np.int64)
+        np.add.at(sums, seg, bits_mat)
+        # votes[b] = (#tokens with bit b set) - (#tokens with bit b unset)
+        votes = 2 * sums - lens[:, None]
+        fp = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        return pd.Series(fp.view(np.int64))  # < 2^60, always positive
 
     _fold = pandas_udf(_fold_impl, T.LongType())
 
     toks = F.array_distinct(tokens(text_col))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    th = F.transform(toks, lambda t: portable_hash60(t))
     return df.select(F.col(id_col).alias("id"), _fold(th).alias("simhash"))
 
 
@@ -267,12 +324,12 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidate blocking: split the 64-bit fingerprint into ``bands`` chunks —
+    Candidate blocking: split the 60-bit fingerprint into ``bands`` chunks —
     any pair within Hamming ≤ bands−1 shares at least one identical chunk
     (pigeonhole), so a chunk-equality join finds all such pairs without the
     quadratic blowup."""
     fps = simhash(df, text_col, id_col)
-    width = 64 // bands
+    width = 60 // bands
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), i * width).bitwiseAND(

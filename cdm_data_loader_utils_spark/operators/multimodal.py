@@ -144,14 +144,22 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    """Deterministic fake media table for tests (payload = seeded bytes).
+
+    kind/payload derive from sha256 so the correctness-gate oracle can
+    regenerate the identical table in plain SQL (payload = ascii bytes of
+    the hex digest; kind = first hex byte mod 3)."""
+    kind_hex = F.sha2(F.concat_ws("|", F.lit(seed), F.col("id"), F.lit("kind")), 256)
     df = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64("id", F.lit(seed)), 3) + 1).cast("int"),
+            (
+                F.pmod(F.conv(F.substring(kind_hex, 1, 2), 16, 10).cast("int"), F.lit(3))
+                + 1
+            ).cast("int"),
         ).alias("kind"),
-        F.sha2(F.concat_ws("|", F.lit(seed), F.col("id")), 512)
+        F.sha2(F.concat_ws("|", F.lit(seed), F.col("id")), 256)
         .cast("binary")
         .alias("payload"),
         F.struct(

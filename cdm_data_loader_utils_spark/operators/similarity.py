@@ -102,42 +102,58 @@ def cosine_pairs_blocked(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_size: int = 1024,
-    num_blocks: int | None = None,
+    chunk_size: int = 256,
+    num_chunks: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs via blocked matrix multiply — the scale path.
+    """Embedding near-dup pairs via chunked matrix multiply — the
+    compute-efficient exact path.
 
     The exact :func:`cosine_pairs` self-join materializes N²/2 rows with two
     full vectors each; at corpus scale that shuffle is the wall. Here vectors
-    are grouped into B hash blocks (one aggregate), the B×(B+1)/2 block
-    pairs cross-join as *block super-rows* (tiny: B² rows of packed arrays),
-    and an Arrow-batched ``mapInPandas`` computes each block-pair's cosine
-    submatrix with one numpy matmul — O(N²·d) flops but O((N/B)²·d) memory
-    per task and only O(N·B) bytes shuffled.
+    are grouped into C = ⌈N / chunk_size⌉ hash chunks (one aggregate), the
+    C·(C+1)/2 chunk pairs equi-less-join, and an Arrow-batched
+    ``mapInPandas`` computes each chunk-pair's cosine submatrix with one
+    numpy matmul — O(N²·d) flops but only O(chunk_size²) candidate memory
+    per task and O(N·√pairs) bytes shuffled.
 
-    Scores are float64 matmul results rounded to 6dp; summation order may
-    differ from the sequential exact path in the last ulp, so this variant
-    is registered rows-only in the correctness gate and equivalence to
-    :func:`cosine_pairs` is asserted in tests."""
+    Packed-row size is bounded BY CONSTRUCTION: the chunk count scales with
+    N, so a packed cell holds ~chunk_size vectors (± hash variance) at any
+    corpus size — default 256 × 64-dim float64 ≈ 128 KB, never near the 2 GB
+    row limit. All-pairs work is still quadratic in N (inherent to exact
+    near-dup); the sub-quadratic scale path is :func:`lsh_bucket` blocking.
+
+    Scores are float64; norms are computed with the same sequential-sum
+    JVM expression as :func:`cosine_pairs` and only the dot product runs in
+    numpy, so 6dp-rounded scores match the exact path and the DuckDB oracle
+    (verified in-gate, not just rows-only)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    if num_blocks is None:
+    if num_chunks is None:
         n = df.count()
-        num_blocks = max(1, (n + block_size - 1) // block_size)
-    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
-    packed = df.groupBy(blk.alias("blk")).agg(
-        F.collect_list(F.col(id_col)).alias("ids"),
-        F.collect_list(F.col(vec_col)).alias("vecs"),
+        num_chunks = max(1, (n + chunk_size - 1) // chunk_size)
+    chk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_chunks)).cast("int")
+    # hoist norms once per vector (JVM-side, same summation order as the
+    # exact path) and pack (id, vec, norm) per chunk, deterministically
+    # sorted so downstream numpy work is order-stable
+    packed = (
+        df.select(
+            chk.alias("chk"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).alias("v"),
+                norm(F.col(vec_col)).alias("n"),
+            ).alias("e"),
+        )
+        .groupBy("chk")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))
     )
-    a = packed.select(
-        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
+    a = packed.select(F.col("chk").alias("chk_a"), F.col("es").alias("es_a"))
+    b = packed.select(F.col("chk").alias("chk_b"), F.col("es").alias("es_b"))
+    chunk_pairs = a.join(b, F.col("chk_a") <= F.col("chk_b")).repartition(
+        max(32, num_chunks)
     )
-    b = packed.select(
-        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
-    )
-    block_pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
 
     out_schema = T.StructType(
         [
@@ -149,29 +165,49 @@ def cosine_pairs_blocked(
 
     def _matmul(batches):
         for pdf in batches:
-            ids_a_out, ids_b_out, cos_out = [], [], []
-            for _, row in pdf.iterrows():
-                ia = np.asarray(row["ids_a"], dtype=np.int64)
-                ib = np.asarray(row["ids_b"], dtype=np.int64)
-                va = np.asarray([np.asarray(v, dtype=np.float64) for v in row["vecs_a"]])
-                vb = np.asarray([np.asarray(v, dtype=np.float64) for v in row["vecs_b"]])
-                na = np.linalg.norm(va, axis=1)
-                nb = np.linalg.norm(vb, axis=1)
+            outs = []
+            for same, es_a, es_b in zip(
+                pdf["chk_a"].to_numpy() == pdf["chk_b"].to_numpy(),
+                pdf["es_a"], pdf["es_b"],
+            ):
+                ia = np.fromiter((e["id"] for e in es_a), dtype=np.int64)
+                ib = np.fromiter((e["id"] for e in es_b), dtype=np.int64)
+                va = np.asarray([np.asarray(e["v"], dtype=np.float64) for e in es_a])
+                vb = np.asarray([np.asarray(e["v"], dtype=np.float64) for e in es_b])
+                na = np.fromiter((e["n"] for e in es_a), dtype=np.float64)
+                nb = np.fromiter((e["n"] for e in es_b), dtype=np.float64)
                 sims = (va @ vb.T) / np.outer(na, nb)
-                ii, jj = np.where(sims >= threshold)
-                same = row["blk_a"] == row["blk_b"]
-                for i, j in zip(ii, jj):
-                    x, y = int(ia[i]), int(ib[j])
-                    if same and x >= y:
-                        continue
-                    if x > y:
-                        x, y = y, x
-                    ids_a_out.append(x)
-                    ids_b_out.append(y)
-                    cos_out.append(round(float(sims[i, j]), 6))
-            yield pd.DataFrame({"id_a": ids_a_out, "id_b": ids_b_out, "cosine": cos_out})
+                if same:
+                    # keep strictly-upper triangle (id_a < id_b)
+                    sims = np.where(ia[:, None] < ib[None, :], sims, -2.0)
+                ii, jj = np.where(np.round(sims, 6) >= threshold)
+                if len(ii) == 0:
+                    continue
+                xa, xb = ia[ii], ib[jj]
+                swap = xa > xb
+                xa, xb = np.where(swap, xb, xa), np.where(swap, xa, xb)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": xa,
+                            "id_b": xb,
+                            "cosine": np.round(sims[ii, jj], 6),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {
+                        "id_a": pd.Series([], dtype="int64"),
+                        "id_b": pd.Series([], dtype="int64"),
+                        "cosine": pd.Series([], dtype="float64"),
+                    }
+                )
+            )
 
-    return block_pairs.mapInPandas(_matmul, out_schema)
+    return chunk_pairs.mapInPandas(_matmul, out_schema)
 
 
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:

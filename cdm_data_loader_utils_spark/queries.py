@@ -622,14 +622,18 @@ def q_jaccard_near_dups(spark, sf_dir):
 
 
 def q_minhash_lsh_near_dups(spark, sf_dir):
-    """MinHash+LSH candidates verified by exact Jaccard (rows-only check:
-    xxhash64 seeds are not portable to DuckDB)."""
+    """MinHash+LSH candidates verified by exact Jaccard. Fully oracle-checked:
+    the sha256-based affine hash family is re-derived independently in DuckDB
+    SQL (signatures → bands → bucket join → estimate prefilter → exact
+    verify), so the whole LSH pipeline hash-compares across engines."""
     d = load(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(d, n=1, num_hashes=64, bands=16, threshold=0.6)
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    """SimHash Hamming≤3 pairs (rows-only check)."""
+    """SimHash Hamming≤3 pairs. Fully oracle-checked: the 60-bit sha256-based
+    fingerprint (bit votes, chunk blocking, Hamming filter) is recomputed
+    independently in DuckDB SQL."""
     d = load(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=3, bands=4)
 
@@ -640,11 +644,12 @@ def q_embedding_cosine_pairs(spark, sf_dir):
 
 
 def q_embedding_neardup_blocked(spark, sf_dir):
-    """Blocked-matmul embedding near-dup — the scale path (rows-only: numpy
-    matmul summation order differs from the sequential oracle in the last
-    ulp; set-equivalence to the exact path is asserted in tests)."""
+    """Chunked-matmul embedding near-dup — the compute-efficient exact path.
+    Oracle-checked against the same exact-pairs SQL as
+    ``embedding_cosine_pairs``: norms use the identical sequential JVM sum
+    and only the dot product runs in numpy, so 6dp scores agree."""
     e = load(spark, sf_dir, "embeddings")
-    return S.cosine_pairs_blocked(e, threshold=0.4, num_blocks=8)
+    return S.cosine_pairs_blocked(e, threshold=0.4)
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -653,8 +658,10 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only: hyperplanes are
-    plan-side seeded constants, not portable SQL)."""
+    """LSH-bucketed approximate top-k. Oracle-checked: the seeded hyperplanes
+    are plan-time literals, so the oracle SQL bakes the same planes in and
+    recomputes bucket membership + in-bucket exact top-k with
+    list_dot_product."""
     e = load(spark, sf_dir, "embeddings")
     return S.ann_topk_lsh(e, [1.0] * 64, k=10, num_planes=4)
 
@@ -775,14 +782,17 @@ FROM w
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-payload → feature-vector plumbing via mapInPandas (rows-only:
-    synthetic media, no SQL equivalent)."""
+    """Binary-payload → feature-vector plumbing via mapInPandas.
+    Oracle-checked: the synthetic media table derives from sha256, so DuckDB
+    regenerates the identical payload bytes and recomputes the deterministic
+    fake decoder (byte histogram) in SQL, per exploded feature dimension."""
     from .operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, n=256)
-    return extract_features(media, feature_dim=8).select(
-        "media_id", "kind", "decode_ok"
-    )
+    feats = extract_features(media, feature_dim=8)
+    return feats.select(
+        "media_id", "kind", "decode_ok", F.posexplode("feature").alias("dim", "val")
+    ).withColumn("val", F.round(F.col("val").cast("double"), 6))
 
 
 _EXACT_DEDUP_ORACLE = f"""
@@ -857,6 +867,172 @@ SELECT doc_id,
        round(greatest(greatest(r_de, r_en, r_es, r_fr), 0.0), 6) AS lang_score
 FROM r
 """
+
+def _minhash_oracle_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    max_bucket_size: int = 500,
+    est_fraction: float = 0.75,
+) -> str:
+    """Independent DuckDB re-derivation of the full MinHash+LSH pipeline —
+    same sha256 base + affine family, banding, bucket guard, estimate
+    prefilter and exact-Jaccard verification as
+    ``operators.dedup.minhash_lsh_pairs``."""
+    from .operators.dedup import MINHASH_PRIME, affine_params
+
+    r = num_hashes // bands
+    seeds = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(affine_params(num_hashes))
+    )
+    h_defs = ", ".join(f"sig[band*{r}+{j+1}] AS h{j}" for j in range(r))
+    h_names = ", ".join(f"h{j}" for j in range(r))
+    h_joins = " ".join(f"AND a.h{j} = b.h{j}" for j in range(r))
+    idx_list = "[" + ", ".join(str(i + 1) for i in range(num_hashes)) + "]"
+    est_floor = repr(est_fraction * threshold)
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, list_distinct(string_split({_NORM_SQL}, ' ')) AS sh
+  FROM documents
+),
+tok AS (SELECT id, unnest(sh) AS s FROM docs),
+base AS (SELECT id, CAST(concat('0x', substr(sha256(s),1,8)) AS BIGINT) AS x FROM tok),
+seeds(i, a, b) AS (SELECT * FROM (VALUES {seeds})),
+hv AS (
+  SELECT id, i, min((a * x + b) % {MINHASH_PRIME}) AS mh
+  FROM base CROSS JOIN seeds GROUP BY id, i
+),
+sig AS (SELECT id, list(mh ORDER BY i) AS sig FROM hv GROUP BY id),
+banded AS (
+  SELECT id, band, {h_defs}
+  FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) bb
+),
+bsz AS (SELECT band, {h_names}, count(*) AS n FROM banded GROUP BY ALL),
+bk AS (
+  SELECT banded.* FROM banded JOIN bsz USING (band, {h_names})
+  WHERE n <= {max_bucket_size}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band {h_joins} AND a.id < b.id
+),
+est AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
+  WHERE CAST(len(list_filter({idx_list}, k -> sa.sig[k] = sb.sig[k])) AS DOUBLE)
+        / {num_hashes} >= {est_floor}
+),
+ver AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+               / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))),
+               6) AS jaccard
+  FROM est JOIN docs da ON da.id = est.id_a JOIN docs db ON db.id = est.id_b
+)
+SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    """Independent DuckDB re-derivation of the 60-bit SimHash pipeline:
+    sha256 token hashes → bit votes → fingerprint → pigeonhole chunk
+    blocking → Hamming filter (mirrors ``operators.dedup.simhash_pairs``)."""
+    width = 60 // bands
+    mask = (1 << width) - 1
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+  FROM documents
+),
+tok AS (SELECT id, unnest(toks) AS t FROM docs),
+th AS (SELECT id, CAST(concat('0x', substr(sha256(t),1,15)) AS BIGINT) AS h FROM tok),
+votes AS (
+  SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) bb
+  GROUP BY id, bit
+),
+fp AS (
+  SELECT id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY id
+),
+chunks AS (
+  SELECT id, simhash, ci, (simhash >> (ci * {width})) & {mask} AS chunk
+  FROM fp CROSS JOIN (SELECT unnest(range(0, {bands})) AS ci) cc
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.chunk = b.chunk AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+def _ann_oracle_sql(
+    query: list[float], k: int = 10, num_planes: int = 4, seed: int = 42
+) -> str:
+    """Oracle for the LSH-bucketed approximate top-k: the seeded hyperplanes
+    are plan-time constants, baked verbatim into the SQL, which recomputes
+    bucket membership and the in-bucket exact cosine top-k."""
+    from .operators.similarity import _hyperplane
+
+    dim = len(query)
+    planes = [_hyperplane(dim, p, seed) for p in range(num_planes)]
+    qb = 0
+    for plane in planes:
+        s = sum(qq * w for qq, w in zip(query, plane))
+        qb = qb * 2 + (1 if s > 0 else 0)
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        w = 2 ** (num_planes - 1 - p)
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST({lit} AS DOUBLE[])) > 0 THEN {w} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    qlit = "[" + ", ".join(repr(float(x)) for x in query) + "]"
+    return f"""
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST({qlit} AS DOUBLE[])), 6) AS score
+FROM embeddings
+WHERE ({bucket}) = {qb}
+ORDER BY score DESC, vec_id ASC LIMIT {k}
+"""
+
+
+# DuckDB regenerates the sha256-seeded synthetic media table and recomputes
+# the deterministic fake decoder (byte-histogram over the hex-digest ascii
+# bytes, normalized by payload length 64) per feature dimension
+_MULTIMODAL_ORACLE = """
+WITH m AS (SELECT unnest(range(0, 256)) AS media_id),
+p AS (
+  SELECT media_id,
+         sha256(concat('42|', media_id)) AS hexs,
+         CAST(concat('0x', substr(sha256(concat('42|', media_id, '|kind')),1,2))
+              AS INTEGER) % 3 AS kidx
+  FROM m
+),
+ch AS (
+  SELECT media_id, ascii(substr(hexs, i + 1, 1)) % 8 AS bkt
+  FROM p CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
+),
+hist AS (SELECT media_id, bkt, count(*) AS c FROM ch GROUP BY media_id, bkt),
+dims AS (SELECT unnest(range(0, 8)) AS dim)
+SELECT p.media_id,
+       CASE kidx WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       TRUE AS decode_ok,
+       CAST(dims.dim AS INTEGER) AS dim,
+       round(COALESCE(hist.c, 0) / 64.0, 6) AS val
+FROM p CROSS JOIN dims
+LEFT JOIN hist ON hist.media_id = p.media_id AND hist.bkt = dims.dim
+"""
+
 
 _TOKEN_COUNT_ORACLE = f"""
 SELECT doc_id,
@@ -936,15 +1112,19 @@ def oracle_sql() -> dict[str, str]:
         "composite_outer_join": _COMPOSITE_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "jaccard_near_dups": _JACCARD_ORACLE,
+        "minhash_lsh_near_dups": _minhash_oracle_sql(
+            num_hashes=64, bands=16, threshold=0.6
+        ),
+        "simhash_near_dups": _simhash_oracle_sql(max_hamming=3, bands=4),
         "embedding_cosine_pairs": _COSINE_PAIRS_ORACLE,
+        "embedding_neardup_blocked": _COSINE_PAIRS_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
+        "ann_lsh_topk": _ann_oracle_sql([1.0] * 64, k=10, num_planes=4),
         "stopword_ratio": _STOPWORD_ORACLE,
         "token_counts": _TOKEN_COUNT_ORACLE,
         "curation_pipeline": _CURATION_ORACLE,
         "lang_id": _LANG_ID_ORACLE,
         "quality_scores": _QUALITY_ORACLE,
         "rolling_fingerprints": _ROLLING_ORACLE,
-        # rows-only (non-SQL-portable): minhash_lsh_near_dups,
-        # simhash_near_dups, ann_lsh_topk, lang_id, quality_scores,
-        # multimodal_features
+        "multimodal_features": _MULTIMODAL_ORACLE,
     }

@@ -296,16 +296,43 @@ def test_lww_variants_agree(spark):
 
 
 def test_cosine_pairs_blocked_matches_exact(spark):
-    """Blocked matmul path finds the same pair set as the exact self-join."""
+    """Chunked matmul path finds the same pairs AND 6dp scores as the exact
+    self-join (scores too, since it's oracle-checked against the same SQL)."""
     from cdm_data_loader_utils_spark.operators.similarity import (
         cosine_pairs,
         cosine_pairs_blocked,
     )
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    exact = {(r.id_a, r.id_b) for r in cosine_pairs(e, threshold=0.4).collect()}
+    exact = {
+        (r.id_a, r.id_b, r.cosine) for r in cosine_pairs(e, threshold=0.4).collect()
+    }
     blocked = {
-        (r.id_a, r.id_b)
-        for r in cosine_pairs_blocked(e, threshold=0.4, num_blocks=4).collect()
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_pairs_blocked(e, threshold=0.4, chunk_size=64).collect()
     }
     assert exact == blocked and len(exact) > 0
+
+
+def test_cosine_pairs_blocked_rows_stay_bounded(spark):
+    """Scale property: packed-cell size is set by chunk_size, NOT corpus
+    size — the chunk count grows with N, so no row approaches the 2 GB
+    limit at any scale."""
+    from pyspark.sql import functions as F
+
+    from cdm_data_loader_utils_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = e.count()
+    chunk_size = 32
+    num_chunks = (n + chunk_size - 1) // chunk_size
+    chk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(num_chunks)).cast("int")
+    max_cell = (
+        e.groupBy(chk.alias("c")).count().agg(F.max("count")).collect()[0][0]
+    )
+    # hash-balanced: worst cell stays within a small factor of chunk_size
+    assert max_cell <= 4 * chunk_size
+    out = cosine_pairs_blocked(e, threshold=0.4, chunk_size=chunk_size)
+    assert out.count() > 0
