@@ -88,15 +88,14 @@ def word_shingles(col: F.Column | str, n: int = 3) -> F.Column:
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per identical normalized text.
 
-    One hash-aggregate shuffle; at scale group by the sha256 so the shuffle
-    key is fixed-width."""
-    h = F.sha2(normalize_text(text_col), 256).alias("__h")
-    keep = (
-        df.select(h, F.col(id_col))
-        .groupBy("__h")
-        .agg(F.min(id_col).alias(id_col))
+    ONE hash-aggregate shuffle total: ``min_by`` carries the whole winning
+    row through the aggregate, so there is no second join-back shuffle. The
+    group key is the fixed-width sha256, not the text itself."""
+    h = F.sha2(normalize_text(text_col), 256)
+    packed = df.groupBy(h.alias("__h")).agg(
+        F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__r")
     )
-    return df.join(keep, on=id_col, how="inner").drop("__h")
+    return packed.select(*[F.col(f"__r.{c}").alias(c) for c in df.columns])
 
 
 def jaccard_pairs(
@@ -265,6 +264,109 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup edges → (id, label) with label =
+    min id in the component. This is what turns PAIR output (jaccard /
+    minhash / simhash / cosine) into actionable dedup: every member of a
+    duplicate cluster maps to one representative.
+
+    Algorithm: iterative min-label propagation with per-round pointer
+    jumping (label ← label-of-label), i.e. alternating small-star-style
+    hops — converges in O(log diameter) rounds. Each round is two shuffles
+    on the vertex id (propagate + shortcut); lineage is truncated every
+    round via localCheckpoint so the plan stays flat at any iteration count
+    (swap for ``checkpoint`` with a cluster checkpoint dir in production).
+    No driver-side data beyond the per-round convergence count.
+    """
+    e = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    # symmetric closure PLUS a self-loop per vertex: min-over-neighbors then
+    # automatically includes the vertex's own label, so the loop body needs
+    # no union (Spark 4's Union constraint rewrite also mishandles unions of
+    # self-referencing checkpointed lineages)
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .unionByName(e.select(F.col("src"), F.col("src").alias("dst")))
+        .unionByName(e.select(F.col("dst").alias("src"), F.col("dst")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select("src").distinct().withColumn("label", F.col("src"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # 1. propagate: label(v) = min over {v} ∪ neighbors(v) of labels —
+        #    one shuffle on dst then groupBy src (self-loops carry own label)
+        new_labels = (
+            sym.join(labels.select(F.col("src").alias("dst"), "label"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+        )
+        # 2. pointer jump: label(v) ← label(label(v)) — collapses chains
+        #    logarithmically instead of one hop per round
+        jumped = (
+            new_labels.alias("a")
+            .join(
+                new_labels.select(
+                    F.col("src").alias("label"), F.col("label").alias("ll")
+                ).alias("b"),
+                "label",
+                "left",
+            )
+            .select(F.col("src"), F.coalesce("ll", "label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("id"), "label")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map every document to its duplicate-cluster representative
+    (min id of the connected component; singletons map to themselves).
+
+    Output: (id_col, cluster_rep). Compose with any pair generator —
+    :func:`jaccard_pairs` as the exact oracle, :func:`minhash_lsh_pairs` as
+    the linear-time scale path (same edge schema)."""
+    cc = connected_components(pairs)
+    return df.select(F.col(id_col)).join(
+        cc.select(F.col("id").alias(id_col), F.col("label").alias("cluster_rep")),
+        id_col,
+        "left",
+    ).select(
+        F.col(id_col),
+        F.coalesce("cluster_rep", F.col(id_col)).alias("cluster_rep"),
+    )
+
+
+def drop_duplicates_by_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep exactly one representative row per duplicate cluster — the
+    apply-side of near-dup detection a real curation pipeline needs."""
+    reps = dedup_clusters(df, pairs, id_col).filter(
+        F.col(id_col) == F.col("cluster_rep")
+    )
+    return df.join(reps.select(id_col), id_col, "inner")
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -638,6 +638,30 @@ def q_simhash_near_dups(spark, sf_dir):
     return D.simhash_pairs(d, max_hamming=3, bands=4)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pair→cluster dedup: connected components over near-dup edges, every
+    doc mapped to its cluster representative (min id; singletons to self).
+    Edges here are the exact-Jaccard pairs so the DuckDB oracle can rebuild
+    the same graph and take its transitive closure with a recursive CTE; at
+    corpus scale the identical code consumes minhash_lsh_pairs edges."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, n=1, threshold=0.6)
+    return D.dedup_clusters(d, pairs)
+
+
+def q_cluster_dedup_stats(spark, sf_dir):
+    """Apply-side of near-dup detection: drop every non-representative row,
+    then account what survives per source — the curation-pipeline variant
+    that actually removes duplicate clusters."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, n=1, threshold=0.6)
+    kept = D.drop_duplicates_by_cluster(d, pairs)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
 def q_embedding_cosine_pairs(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     return S.cosine_pairs(e, threshold=0.4)
@@ -868,6 +892,54 @@ SELECT doc_id,
 FROM r
 """
 
+# shared CTE body: exact-Jaccard edge list + transitive closure via
+# recursive CTE — the declarative ground truth for connected components
+_CLUSTER_WALK_SQL = f"""
+sh AS (
+  SELECT doc_id AS id, list_distinct(string_split({_NORM_SQL}, ' ')) AS s
+  FROM documents
+),
+ex AS (SELECT id, len(s) AS sz, unnest(s) AS w FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         count(*) AS common
+  FROM ex a JOIN ex b ON a.w = b.w AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+),
+p AS (
+  SELECT id_a, id_b FROM inter
+  WHERE round(CAST(common AS DOUBLE) / (sz_a + sz_b - common), 6) >= 0.6
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+walk(id, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+)
+"""
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+{_CLUSTER_WALK_SQL}
+SELECT id AS doc_id, min(reach) AS cluster_rep FROM walk GROUP BY id
+"""
+
+_CLUSTER_STATS_ORACLE = f"""
+WITH RECURSIVE
+{_CLUSTER_WALK_SQL},
+reps AS (
+  SELECT id AS doc_id FROM walk GROUP BY id HAVING id = min(reach)
+)
+SELECT source, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars
+FROM documents JOIN reps USING (doc_id)
+GROUP BY source
+"""
+
+
 def _minhash_oracle_sql(
     num_hashes: int = 64,
     bands: int = 16,
@@ -1069,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_outer_join": q_composite_outer_join,
         "exact_dedup": q_exact_dedup,
         "jaccard_near_dups": q_jaccard_near_dups,
+        "dedup_clusters": q_dedup_clusters,
+        "cluster_dedup_stats": q_cluster_dedup_stats,
         "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -1112,6 +1186,8 @@ def oracle_sql() -> dict[str, str]:
         "composite_outer_join": _COMPOSITE_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "jaccard_near_dups": _JACCARD_ORACLE,
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "cluster_dedup_stats": _CLUSTER_STATS_ORACLE,
         "minhash_lsh_near_dups": _minhash_oracle_sql(
             num_hashes=64, bands=16, threshold=0.6
         ),

@@ -336,3 +336,39 @@ def test_cosine_pairs_blocked_rows_stay_bounded(spark):
     assert max_cell <= 4 * chunk_size
     out = cosine_pairs_blocked(e, threshold=0.4, chunk_size=chunk_size)
     assert out.count() > 0
+
+
+def test_connected_components_transitivity(spark):
+    """a-b and b-c edges must merge into ONE cluster labeled min(a,b,c);
+    isolated docs map to themselves."""
+    from cdm_data_loader_utils_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+        drop_duplicates_by_cluster,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "solo")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(2, 3), (1, 2)], ["id_a", "id_b"])
+    cc = {(r.id, r.label) for r in connected_components(pairs).collect()}
+    assert cc == {(1, 1), (2, 1), (3, 1)}
+    clusters = {
+        (r.doc_id, r.cluster_rep) for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert clusters == {(1, 1), (2, 1), (3, 1), (9, 9)}
+    kept = {r.doc_id for r in drop_duplicates_by_cluster(docs, pairs).collect()}
+    assert kept == {1, 9}
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer jumping must converge a length-16 chain quickly (log rounds),
+    labeling everything with the chain head."""
+    from cdm_data_loader_utils_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], ["id_a", "id_b"]
+    )
+    cc = connected_components(pairs, max_iter=8).collect()
+    assert {r.label for r in cc} == {0}
+    assert {r.id for r in cc} == set(range(17))
