@@ -19,17 +19,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
-from ..schemas import INGEST_LOG_SCHEMA, REJECTS_SCHEMA, ROW_ERRORS_COL
+from ..schemas import (
+    INGEST_LOG_SCHEMA,
+    REJECTS_SCHEMA,
+    ROW_ERRORS_COL,
+    RUN_STATUS_ERROR,
+    RUN_STATUS_RUNNING,
+    RUN_STATUS_SUCCESS,
+    RUNS_SCHEMA,
+)
 
 
 class AuditStore:
-    """ingest_log + rejects tables under one warehouse directory."""
+    """ingest_log + rejects + runs tables under one warehouse directory."""
 
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
         self.ingest_log = self._open("ingest_log", INGEST_LOG_SCHEMA)
         self.rejects = self._open("rejects", REJECTS_SCHEMA)
+        self.runs = self._open("runs", RUNS_SCHEMA)
 
     def _open(self, name: str, schema) -> LakeTable:
         path = os.path.join(self.warehouse, name)
@@ -100,6 +109,54 @@ class AuditStore:
             .collect()
         )
         return rows[0].asDict() if rows else None
+
+    # -- run state machine ----------------------------------------------------
+    # mirror of the reference's run lifecycle (audit/run.py:33-114): start a
+    # RUNNING row, finish via targeted UPDATE; a transition that matches no
+    # RUNNING row warns instead of silently passing (the reference's
+    # `_table_not_updated` history check, audit/run.py:27-30).
+    def start_run(self, run_id: str) -> None:
+        from pyspark.sql import types as T
+
+        base = T.StructType(
+            [f for f in RUNS_SCHEMA.fields if f.name in ("run_id", "status", "error")]
+        )
+        df = self.spark.createDataFrame(
+            [(run_id, RUN_STATUS_RUNNING, None)], schema=base
+        ).select(
+            "run_id", "status", "error",
+            F.current_timestamp().alias("started"),
+            F.lit(None).cast("timestamp").alias("finished"),
+        )
+        self.runs.append(df)
+
+    def _finish_run(self, run_id: str, status: str, error: str | None) -> int:
+        _, n = self.runs.update(
+            (F.col("run_id") == run_id) & (F.col("status") == RUN_STATUS_RUNNING),
+            {
+                "status": F.lit(status),
+                "error": F.lit(error),
+                "finished": F.current_timestamp(),
+            },
+        )
+        return n
+
+    def complete_run(self, run_id: str) -> int:
+        """RUNNING → SUCCESS. Returns rows transitioned (0 ⇒ warned no-op)."""
+        return self._finish_run(run_id, RUN_STATUS_SUCCESS, None)
+
+    def fail_run(self, run_id: str, error: str) -> int:
+        """RUNNING → ERROR with the failure message."""
+        return self._finish_run(run_id, RUN_STATUS_ERROR, error)
+
+    def run_status(self, run_id: str) -> str | None:
+        rows = (
+            self.runs.read().filter(F.col("run_id") == run_id)
+            .orderBy(F.col("started").desc())
+            .limit(1)
+            .collect()
+        )
+        return rows[0]["status"] if rows else None
 
     # -- rejects ------------------------------------------------------------
     def write_rejects(self, run_id: str, batch_id: int, invalid: DataFrame) -> int:

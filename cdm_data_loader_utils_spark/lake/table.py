@@ -454,6 +454,83 @@ class LakeTable:
         nxt["summary"].setdefault("rows_written", sum(fe.rows for fe in new_files))
         return self._commit(nxt)
 
+    # --------------------------------------------------------------- update
+    def update(
+        self,
+        condition: F.Column,
+        set_values: dict[str, F.Column],
+        summary: dict | None = None,
+        fence_key: str | None = None,
+    ) -> tuple[int, int]:
+        """Targeted copy-on-write UPDATE: set columns where ``condition``
+        holds; only files containing matching rows are rewritten.
+
+        Returns (snapshot_id, rows_updated). A no-op update (0 matching
+        rows) warns and commits nothing — mirroring the reference's
+        history-based updated-rows check after every Delta ``update``
+        (``audit/run.py:27-30`` ``_table_not_updated``,
+        ``audit/checkpoint.py:74-91``)."""
+        return self._retry_commit(
+            lambda: self._update_once(condition, set_values, summary, fence_key)
+        )
+
+    def _update_once(
+        self,
+        condition: F.Column,
+        set_values: dict[str, F.Column],
+        summary: dict | None,
+        fence_key: str | None,
+    ) -> tuple[int, int]:
+        import warnings
+
+        snap = self.snapshot()
+        fenced = self._fence_hit(snap, fence_key)
+        if fenced is not None:
+            return fenced, 0
+        existing = [FileEntry.from_json(d) for d in snap["files"]]
+        schema = self.schema(snap)
+        has_del = META_DELETED in [f.name for f in schema.fields]
+        live_cond = condition
+        if has_del:
+            live_cond = condition & ~F.coalesce(F.col(META_DELETED), F.lit(False))
+        rows_updated = 0
+        hit: set[str] = set()
+        if existing:
+            probe = self._read_files(snap, existing, with_file_col=True)
+            for r in probe.filter(live_cond).groupBy("__file").count().collect():
+                hit.add(self._uri_to_rel(r[0]))
+                rows_updated += int(r[1])
+        if rows_updated == 0:
+            warnings.warn(
+                f"update matched 0 rows at {self.path}; no snapshot committed",
+                stacklevel=3,
+            )
+            return snap["snapshot_id"], 0
+        affected = [fe for fe in existing if fe.path in hit]
+        carried = [fe for fe in existing if fe.path not in hit]
+        rows = self._read_files(snap, affected, with_file_col=False)
+        # ONE select so the condition evaluates against the ORIGINAL row —
+        # chained withColumn would re-evaluate it against already-updated
+        # columns (a condition on a column being set would turn false
+        # mid-update and silently skip the remaining assignments)
+        rows = rows.select(
+            *[
+                (
+                    F.when(live_cond, set_values[c]).otherwise(F.col(c)).alias(c)
+                    if c in set_values
+                    else F.col(c)
+                )
+                for c in rows.columns
+            ]
+        )
+        rewritten = self._write_files(_align_to_schema(rows, schema), snap, snap["current_schema_id"])
+        nxt = self._next_snap(
+            snap, "update", carried + rewritten, summary, fence_key
+        )
+        nxt["summary"].setdefault("rows_updated", rows_updated)
+        nxt["summary"].setdefault("files_rewritten", len(affected))
+        return self._commit(nxt), rows_updated
+
     # ---------------------------------------------------------------- merge
     def merge_cdc(
         self,
@@ -712,6 +789,47 @@ class LakeTable:
             self.fs.delete(p)
             removed += 1
         return removed
+
+
+def write_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    mode: str = "append",
+    bucket_by: str | None = None,
+    bucket_count: int = 16,
+    skip_empty: bool = True,
+    fence_key: str | None = None,
+) -> LakeTable:
+    """Mode-validated write entry point — parity with the reference's
+    ``write_delta`` (``utils/spark_delta.py:135-209``): modes ``append`` /
+    ``overwrite`` / ``ignore`` / ``error``(``ifexists``), empty-DataFrame
+    skip (table is still created so downstream readers see the schema),
+    create-on-first-write."""
+    import warnings
+
+    modes = {"append", "overwrite", "ignore", "error", "errorifexists"}
+    if mode not in modes:
+        raise ValueError(f"invalid mode {mode!r}; one of {sorted(modes)}")
+    exists = LakeTable.exists(path, spark=spark)
+    if mode in ("error", "errorifexists") and exists:
+        raise FileExistsError(f"table already exists at {path}")
+    if mode == "ignore" and exists:
+        return LakeTable.load(spark, path)
+    if exists:
+        t = LakeTable.load(spark, path)
+    else:
+        t = LakeTable.create(
+            spark, path, df.schema, bucket_by=bucket_by, bucket_count=bucket_count
+        )
+    if skip_empty and df.isEmpty():
+        warnings.warn(f"empty DataFrame: skipping write to {path}", stacklevel=2)
+        return t
+    if mode == "overwrite":
+        t.overwrite(df, fence_key=fence_key)
+    else:
+        t.append(df, fence_key=fence_key)
+    return t
 
 
 def _align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:

@@ -84,6 +84,18 @@ REJECTS_SCHEMA = T.StructType(
     ]
 )
 
+# runs: run-level status state machine (audit/schema.py:40-49 run table;
+# transitions via targeted UPDATE, audit/run.py:33-114)
+RUNS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), nullable=False),
+        T.StructField("status", T.StringType(), nullable=False),
+        T.StructField("error", T.StringType(), nullable=True),
+        T.StructField("started", T.TimestampType(), nullable=True),
+        T.StructField("finished", T.TimestampType(), nullable=True),
+    ]
+)
+
 ROW_ERRORS_COL = "errors_in_record"
 CORRUPT_RECORD_COL = "__invalid_data__"  # cf. readers/dsv.py:16, core/constants.py:3
 

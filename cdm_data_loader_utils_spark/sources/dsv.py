@@ -79,6 +79,31 @@ def read_tsv_renamed(
     return df.toDF(*names)
 
 
+def export_single_csv(df: DataFrame, target: str, header: bool = True) -> str:
+    """K6: export a (small) result as ONE csv file at an exact path.
+
+    Reference analogue ``cli/detect_updates.py:99-102`` collects to pandas
+    on the driver; here the write stays distributed (``coalesce(1)`` — one
+    writer task, no driver materialization) and the part file is renamed
+    into place. For results that are large, don't coalesce — keep the
+    directory-of-parts layout."""
+    import glob
+    import os
+    import shutil
+
+    tmp = target + ".__tmp__"
+    (
+        df.coalesce(1)
+        .write.option("header", str(header).lower())
+        .mode("overwrite")
+        .csv(tmp)
+    )
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    os.replace(part, target)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, corrupt) split on the corrupt-record column."""
     clean = df.filter(F.col(CORRUPT_RECORD_COL).isNull()).drop(CORRUPT_RECORD_COL)

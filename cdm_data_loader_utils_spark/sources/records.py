@@ -83,6 +83,85 @@ def read_delimited_records(
     return files.select("path", "content").mapInPandas(_segment, RECORD_SCHEMA)
 
 
+XML_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("record_idx", T.LongType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("xml", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def read_xml_records(
+    spark: SparkSession,
+    path_glob: str,
+    tag: str,
+    namespace: str | None = None,
+) -> DataFrame:
+    """Tag-based streaming XML segmentation, executor-side.
+
+    Distributed re-expression of the reference's driver generator
+    ``stream_xml_file`` (``utils/xml_utils.py:129-152``: lxml iterparse on a
+    namespaced tag, gz-aware, ``elem.clear()`` as it goes) — the ingest shape
+    behind the UniProt/metalink parsers (``parsers/uniprot/uniprot_kb.py:
+    365-433``). Files load whole via ``binaryFile`` (one task per file);
+    an Arrow-batched ``mapInPandas`` iterparses each, emitting one row per
+    matching subtree as serialized XML, clearing the root between records so
+    memory stays O(record), not O(file).
+
+    ``namespace=None`` matches on local tag name; otherwise the exact
+    ``{namespace}tag``. Malformed XML does not fail the task: records parsed
+    before the error are kept, plus one row with ``error`` set (the
+    PERMISSIVE corrupt-record discipline, cf. reference invalid-XML fixtures
+    ``tests/data/uniprot/metalink/invalid/``)."""
+    files = spark.read.format("binaryFile").load(path_glob)
+    want = f"{{{namespace}}}{tag}" if namespace else tag
+
+    def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            rows = {"path": [], "record_idx": [], "tag": [], "xml": [], "error": []}
+
+            def emit(path, idx, tg, xml, err):
+                rows["path"].append(path)
+                rows["record_idx"].append(idx)
+                rows["tag"].append(tg)
+                rows["xml"].append(xml)
+                rows["error"].append(err)
+
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if path.endswith(".gz"):
+                    data = gzip.decompress(data)
+                idx = 0
+                root = None
+                try:
+                    for event, elem in ET.iterparse(
+                        io.BytesIO(data), events=("start", "end")
+                    ):
+                        if event == "start":
+                            if root is None:
+                                root = elem
+                            continue
+                        name = elem.tag if namespace else elem.tag.split("}")[-1]
+                        if name == want:
+                            emit(
+                                path, idx, elem.tag,
+                                ET.tostring(elem, encoding="unicode"), None,
+                            )
+                            idx += 1
+                            if root is not None and elem is not root:
+                                root.clear()  # drop finished subtrees
+                except ET.ParseError as e:
+                    emit(path, idx, None, None, str(e))
+            yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(_segment, XML_RECORD_SCHEMA)
+
+
 def tail_paginated(
     spark: SparkSession,
     fetch_page: Callable[[str | None], tuple[list[dict], str | None]],

@@ -187,17 +187,58 @@ def replay_batches(
         ckpt = audit.last_checkpoint(run_id)
         if ckpt:
             start_after = int(ckpt["batch_id"])
+    # run-level state machine: RUNNING → SUCCESS / ERROR (reference
+    # audit/run.py:33-114 lifecycle around the batch loop)
+    if audit is not None:
+        audit.start_run(run_id)
     results = []
-    for bid in batch_ids:
-        if bid <= start_after:
-            continue
-        batch = events.filter(F.col("batch_id") == bid)
-        if drop_tool_below_batch is not None and bid < drop_tool_below_batch:
-            batch = batch.drop("tool")
-        results.append(
-            apply_batch(batch, table, audit, run_id, bid, salt_buckets)
-        )
+    try:
+        for bid in batch_ids:
+            if bid <= start_after:
+                continue
+            batch = events.filter(F.col("batch_id") == bid)
+            if drop_tool_below_batch is not None and bid < drop_tool_below_batch:
+                batch = batch.drop("tool")
+            results.append(
+                apply_batch(batch, table, audit, run_id, bid, salt_buckets)
+            )
+    except Exception as e:
+        if audit is not None:
+            audit.fail_run(run_id, str(e)[:512])
+        raise
+    if audit is not None:
+        audit.complete_run(run_id)
     return results
+
+
+def apply_batch_fanout(
+    events: DataFrame,
+    routes: dict[str, tuple["LakeTable", "callable"]],
+    run_id: str,
+    batch_id: int,
+) -> dict[str, int]:
+    """Per-row multi-table routing inside ONE micro-batch body (K8).
+
+    ``routes``: name → (lake table, transform) where ``transform(df)``
+    selects/reshapes that table's rows. The source scan is persisted once;
+    each route is a filtered write with its OWN fence key, so a replayed
+    batch skips per table independently — a crash between table writes
+    resumes without double-applying the tables that already committed.
+    Mirrors the reference's per-batch multi-table sink
+    (``pipelines/uniprot_kb_pipeline.py:46-75``: one batch → entries,
+    xrefs, … tables)."""
+    persisted = events.persist()
+    out: dict[str, int] = {}
+    try:
+        for name, (table, transform) in routes.items():
+            out[name] = table.append(
+                transform(persisted),
+                fence_key=f"{run_id}:{batch_id}:{name}",
+                summary={"run_id": run_id, "batch_id": batch_id, "route": name},
+            )
+    finally:
+        persisted.unpersist()
+    return out
 
 
 def stream_events(

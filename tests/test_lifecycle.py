@@ -1,0 +1,185 @@
+"""Lifecycle-parity tests: targeted UPDATE + no-op warning, run-level status
+state machine, multi-table fan-out, write modes, name catalog, single-file
+CSV export — mirrors of the reference's run/update/sink behaviors
+(``/root/reference/src/cdm_data_loader_utils/audit/run.py:33-114``,
+``utils/spark_delta.py:135-224``, ``pipelines/uniprot_kb_pipeline.py:46-75``,
+``cli/detect_updates.py:99-102``)."""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdm_data_loader_utils_spark.audit.tables import AuditStore
+from cdm_data_loader_utils_spark.lake.catalog import Catalog
+from cdm_data_loader_utils_spark.lake.table import LakeTable, write_table
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.IntegerType()),
+    ]
+)
+
+
+def _df(spark, rows, schema=SCHEMA):
+    return spark.createDataFrame(rows, schema)
+
+
+# ----------------------------------------------------------------- update
+def test_update_targets_only_matching_files(spark, warehouse):
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=8
+    )
+    t.append(_df(spark, [(f"k{i}", i) for i in range(32)]))
+    files_before = {f["path"] for f in t.snapshot()["files"]}
+    sid, n = t.update(F.col("k") == "k3", {"v": F.lit(999)})
+    assert n == 1
+    assert t.snapshot()["summary"]["rows_updated"] == 1
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert ("k3", 999) in got and len(got) == 32
+    carried = files_before & {f["path"] for f in t.snapshot()["files"]}
+    assert carried, "files without matches must carry forward unchanged"
+
+
+def test_update_noop_warns_and_commits_nothing(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1)]))
+    sid_before = t.snapshot_id
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sid, n = t.update(F.col("k") == "missing", {"v": F.lit(0)})
+    assert n == 0 and sid == sid_before == t.snapshot_id
+    assert any("0 rows" in str(x.message) for x in w)
+
+
+def test_update_skips_tombstones(spark, warehouse):
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=2
+    )
+    src = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    t.merge_cdc(
+        spark.createDataFrame([("a", 1, "i", 1), ("b", 2, "d", 2)], src),
+        key_cols=["k"],
+    )
+    _, n = t.update(F.col("v").isNotNull(), {"v": F.col("v") + 100})
+    assert n == 1  # only the live row; the tombstone is not "updated"
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", 101)}
+
+
+# --------------------------------------------------------- run state machine
+def test_run_state_machine(spark, warehouse):
+    audit = AuditStore(spark, warehouse)
+    audit.start_run("r1")
+    assert audit.run_status("r1") == "RUNNING"
+    assert audit.complete_run("r1") == 1
+    assert audit.run_status("r1") == "SUCCESS"
+    # completing again is a warned no-op (no RUNNING row left)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert audit.complete_run("r1") == 0
+    assert any("0 rows" in str(x.message) for x in w)
+
+    audit.start_run("r2")
+    assert audit.fail_run("r2", "boom") == 1
+    assert audit.run_status("r2") == "ERROR"
+    err = (
+        audit.runs.read().filter(F.col("run_id") == "r2").collect()[0]["error"]
+    )
+    assert err == "boom"
+
+
+def test_replay_records_run_lifecycle(spark, warehouse):
+    from cdm_data_loader_utils_spark.schemas import TRANSCRIPT_SCHEMA
+    from cdm_data_loader_utils_spark.sources.events import generate_change_events
+    from cdm_data_loader_utils_spark.streaming.replay import replay_batches
+
+    events = generate_change_events(spark, 2000, n_convs=10, seed=3, batch_size=1000)
+    table = LakeTable.create(
+        spark, os.path.join(warehouse, "tr"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", bucket_count=4,
+    )
+    audit = AuditStore(spark, warehouse)
+    replay_batches(events, table, audit, "run-x")
+    assert audit.run_status("run-x") == "SUCCESS"
+
+
+# ------------------------------------------------------------------ fan-out
+def test_multi_table_fanout_exactly_once(spark, warehouse):
+    from cdm_data_loader_utils_spark.streaming.replay import apply_batch_fanout
+
+    evens = LakeTable.create(spark, os.path.join(warehouse, "evens"), SCHEMA)
+    odds = LakeTable.create(spark, os.path.join(warehouse, "odds"), SCHEMA)
+    batch = _df(spark, [(f"k{i}", i) for i in range(10)])
+    routes = {
+        "evens": (evens, lambda df: df.filter(F.col("v") % 2 == 0)),
+        "odds": (odds, lambda df: df.filter(F.col("v") % 2 == 1)),
+    }
+    apply_batch_fanout(batch, routes, "runA", 0)
+    assert evens.read().count() == 5 and odds.read().count() == 5
+    # replaying the same batch is fenced out PER TABLE
+    apply_batch_fanout(batch, routes, "runA", 0)
+    assert evens.read().count() == 5 and odds.read().count() == 5
+
+
+# -------------------------------------------------------------- write modes
+def test_write_modes_matrix(spark, warehouse):
+    p = os.path.join(warehouse, "t")
+    write_table(spark, p, _df(spark, [("a", 1)]), mode="append")
+    write_table(spark, p, _df(spark, [("b", 2)]), mode="append")
+    assert LakeTable.load(spark, p).read().count() == 2
+    write_table(spark, p, _df(spark, [("z", 9)]), mode="overwrite")
+    assert [(r.k, r.v) for r in LakeTable.load(spark, p).read().collect()] == [("z", 9)]
+    # ignore: existing table untouched
+    write_table(spark, p, _df(spark, [("q", 7)]), mode="ignore")
+    assert LakeTable.load(spark, p).read().count() == 1
+    with pytest.raises(FileExistsError):
+        write_table(spark, p, _df(spark, [("q", 7)]), mode="errorifexists")
+    with pytest.raises(ValueError):
+        write_table(spark, p, _df(spark, [("q", 7)]), mode="bogus")
+
+
+def test_write_empty_df_skipped_but_table_created(spark, warehouse):
+    p = os.path.join(warehouse, "t")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t = write_table(spark, p, spark.createDataFrame([], SCHEMA))
+    assert any("empty" in str(x.message).lower() for x in w)
+    assert LakeTable.exists(p) and t.read().count() == 0
+    assert t.snapshot_id == 1  # no data commit happened
+
+
+# ------------------------------------------------------------------ catalog
+def test_catalog_name_addressing(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    t = cat.create_table("bronze.transcripts", SCHEMA, bucket_by="k", bucket_count=2)
+    t.append(_df(spark, [("a", 1)]))
+    assert cat.exists("bronze.transcripts")
+    t2 = cat.load_table("bronze.transcripts")
+    assert t2.read().count() == 1
+    assert cat.resolve("bronze.transcripts").endswith("bronze/transcripts")
+    assert "bronze.transcripts" in cat.tables()
+    cat.register("silver.ext", os.path.join(warehouse, "elsewhere"))
+    assert cat.resolve("silver.ext").endswith("elsewhere")
+    cat.drop("silver.ext")
+    with pytest.raises(KeyError):
+        cat.resolve("silver.ext")
+
+
+# ---------------------------------------------------------------- csv export
+def test_export_single_csv(spark, tmp_path):
+    from cdm_data_loader_utils_spark.sources.dsv import export_single_csv
+
+    df = _df(spark, [("a", 1), ("b", 2)])
+    target = str(tmp_path / "out.csv")
+    export_single_csv(df.orderBy("k"), target)
+    lines = open(target).read().strip().splitlines()
+    assert lines[0] == "k,v" and set(lines[1:]) == {"a,1", "b,2"}
+    assert not os.path.exists(target + ".__tmp__")

@@ -60,3 +60,39 @@ def test_tail_paginated_with_retries(spark):
     out = tail_paginated(spark, fetch, schema, backoff_s=0.01)
     assert sorted((r.id, r.v) for r in out.collect()) == [(1, "a"), (2, "b"), (3, "c")]
     assert calls["fails"] == 1
+
+
+def test_xml_tag_segmentation(spark, tmp_path):
+    """Tag-based XML records: namespaced entries, gz transparency, and
+    malformed XML captured as an error row instead of a task failure."""
+    import gzip as _gzip
+
+    from cdm_data_loader_utils_spark.sources.records import read_xml_records
+
+    ns = "http://example.org/up"
+    doc = (
+        f'<u:uniprot xmlns:u="{ns}">'
+        f'<u:entry id="A"><u:name>alpha</u:name></u:entry>'
+        f'<u:entry id="B"><u:name>beta</u:name></u:entry>'
+        f"<u:other>skip</u:other>"
+        f'<u:entry id="C"><u:name>gamma</u:name></u:entry>'
+        f"</u:uniprot>"
+    )
+    (tmp_path / "a.xml").write_text(doc)
+    (tmp_path / "b.xml.gz").write_bytes(_gzip.compress(doc.encode()))
+    (tmp_path / "bad.xml").write_text("<u:uniprot><u:entry>no close")
+
+    out = read_xml_records(
+        spark, str(tmp_path) + "/*.xml*", tag="entry", namespace=ns
+    ).collect()
+    ok = [r for r in out if r.error is None]
+    bad = [r for r in out if r.error is not None]
+    assert len(ok) == 6  # 3 entries × (plain + gz)
+    assert all(r.tag == f"{{{ns}}}entry" for r in ok)
+    assert sorted(r.record_idx for r in ok if r.path.endswith("a.xml")) == [0, 1, 2]
+    assert 'id="B"' in [r.xml for r in ok if r.record_idx == 1][0]
+    assert len(bad) == 1 and bad[0].path.endswith("bad.xml")
+
+    # local-name matching without a namespace
+    out2 = read_xml_records(spark, str(tmp_path) + "/a.xml", tag="entry").collect()
+    assert len(out2) == 3
