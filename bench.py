@@ -70,9 +70,12 @@ def bench_replay_throughput(spark, n_events: int) -> tuple[float, int]:
             tool_from_lsn=n_events // 2,
         )
         # materialize the stream first (untimed): the metric is ingest
-        # throughput of delivered events, not synthesis cost
+        # throughput of delivered events, not synthesis cost. Partitioned by
+        # batch_id — a WAL tail reads only the new files per micro-batch, so
+        # each replay batch is a partition-pruned scan, not a rescan of the
+        # whole history (4 batches over one flat dir = 4× read amplification)
         events_path = os.path.join(tmp, "events")
-        gen.write.parquet(events_path)
+        gen.write.partitionBy("batch_id").parquet(events_path)
         events = spark.read.parquet(events_path)
         n_delivered = events.count()
         # untimed warm-up replay: JIT/codegen compilation otherwise lands in
@@ -113,7 +116,10 @@ def main() -> None:
 
     qmap = Q.queries()
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    # BENCH_ONLY_REPLAY=1 → scaling-efficiency mode: skip the query suite so
+    # each measured leg is exactly the replay job (tools/bench_scaling.py)
+    only_replay = os.environ.get("BENCH_ONLY_REPLAY", "") == "1"
+    for name in [] if only_replay else BENCH_QUERIES:
         t0 = time.perf_counter()
         df = qmap[name](spark, sf_dir)
         n = df.count()

@@ -57,3 +57,23 @@ def test_snapshot_diff_single_join_shuffle(spark):
     # two grouped halves + one full-outer join; AQE may coalesce but the
     # plan must not contain extra repartitions beyond the 3 logical ones
     assert shuffle_count(df) <= 4, shuffle_count(df)
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """min_by carries the winning row through ONE hash aggregate — no
+    join-back second shuffle."""
+    from cdm_data_loader_utils_spark.operators.dedup import exact_dedup
+
+    d = Q.load(spark, SF, "documents")
+    out = exact_dedup(d)
+    assert shuffle_count(out) == 1, shuffle_count(out)
+    from cdm_data_loader_utils_spark.plans.inspect import physical_plan
+
+    assert "partial_min_by" in physical_plan(out)
+
+
+def test_event_scan_prunes_to_needed_columns(spark):
+    """The replay ingest path must not read payload columns it drops."""
+    ev = Q.load(spark, SF, "events").select("event_id", "ts")
+    schemas = read_schema_columns(ev)
+    assert schemas and all(set(s) <= {"event_id", "ts"} for s in schemas)
