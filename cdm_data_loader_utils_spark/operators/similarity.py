@@ -248,13 +248,19 @@ def ann_topk_lsh(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+    """Approximate top-k: score only vectors in the query's LSH bucket(s).
 
-    Recall/latency knob is ``num_planes`` (fewer planes → bigger buckets).
-    The bucket filter is a pushed-down int comparison over a precomputable
-    column — at scale, persist ``lsh_bucket`` output partitioned by bucket
-    and this becomes a partition-pruned scan."""
+    Recall/latency knobs: ``num_planes`` (fewer planes → bigger buckets) and
+    ``multiprobe`` — probe every bucket within Hamming distance ``multiprobe``
+    of the query's bucket (the standard multi-probe LSH recall fix: a
+    near-neighbor that lands a hair across ONE hyperplane differs in exactly
+    one bucket bit, so probing 1-bit flips recovers most of the recall a
+    single-bucket probe loses at a tiny extra scan cost). The bucket filter
+    stays a pushed-down int IN-list over a precomputable column — at scale,
+    persist ``lsh_bucket`` output partitioned by bucket and this becomes a
+    partition-pruned scan of 1 + Σ C(planes, i) partitions."""
     dim = len(query)
     bucketed = lsh_bucket(df, dim, num_planes, seed, vec_col)
     qb = 0
@@ -262,9 +268,19 @@ def ann_topk_lsh(
         plane = _hyperplane(dim, p, seed)
         s = sum(q * w for q, w in zip(query, plane))
         qb = qb * 2 + (1 if s > 0 else 0)
+    probes = {qb}
+    frontier = {qb}
+    for _ in range(max(0, multiprobe)):
+        frontier = {b ^ (1 << j) for b in frontier for j in range(num_planes)}
+        probes |= frontier
     qc = F.array(*[F.lit(float(x)) for x in query])
+    bucket_pred = (
+        F.col("bucket") == qb
+        if len(probes) == 1
+        else F.col("bucket").isin(*sorted(probes))
+    )
     return (
-        bucketed.filter(F.col("bucket") == qb)
+        bucketed.filter(bucket_pred)
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), qc), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)

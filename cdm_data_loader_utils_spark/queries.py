@@ -638,6 +638,37 @@ def q_simhash_near_dups(spark, sf_dir):
     return D.simhash_pairs(d, max_hamming=3, bands=4)
 
 
+def q_windowed_event_counts(spark, sf_dir):
+    """Event-time tumbling-window aggregation — the batch form of the
+    streaming ``windowed_turn_counts`` operator (same window expression the
+    watermarked stream uses; on a stream it emits per-window rows in append
+    mode once the watermark passes)."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_WINDOWED_ORACLE = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Pair→cluster dedup: connected components over near-dup edges, every
     doc mapped to its cluster representative (min id; singletons to self).
@@ -1139,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_rollup": q_region_rollup,
         "left_join_fallback": q_left_join_fallback,
         "composite_outer_join": q_composite_outer_join,
+        "windowed_event_counts": q_windowed_event_counts,
         "exact_dedup": q_exact_dedup,
         "jaccard_near_dups": q_jaccard_near_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -1184,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         "region_rollup": _REGION_ORACLE,
         "left_join_fallback": _LEFTJOIN_ORACLE,
         "composite_outer_join": _COMPOSITE_ORACLE,
+        "windowed_event_counts": _WINDOWED_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "jaccard_near_dups": _JACCARD_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,

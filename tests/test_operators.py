@@ -372,3 +372,30 @@ def test_connected_components_long_chain(spark):
     cc = connected_components(pairs, max_iter=8).collect()
     assert {r.label for r in cc} == {0}
     assert {r.id for r in cc} == set(range(17))
+
+
+def test_ann_multiprobe_improves_recall(spark):
+    """Multi-probe LSH must recover neighbors that a single-bucket probe
+    misses, and its result set must converge on the exact top-k as the
+    probe radius covers all buckets."""
+    from cdm_data_loader_utils_spark.operators.similarity import (
+        ann_topk_lsh,
+        cosine_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [1.0] * 64
+    exact = [r.vec_id for r in cosine_topk(e, q, k=10).collect()]
+    single = {r.vec_id for r in ann_topk_lsh(e, q, k=10, num_planes=4).collect()}
+    probed = {
+        r.vec_id
+        for r in ann_topk_lsh(e, q, k=10, num_planes=4, multiprobe=1).collect()
+    }
+    full = {
+        r.vec_id
+        for r in ann_topk_lsh(e, q, k=10, num_planes=4, multiprobe=4).collect()
+    }
+    r_single = len(single & set(exact)) / len(exact)
+    r_probe = len(probed & set(exact)) / len(exact)
+    assert r_probe >= r_single
+    assert full == set(exact)  # radius = num_planes probes every bucket
