@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "embedding_cosine_pairs",
     "embedding_neardup_blocked",
     "cosine_topk",
+    "ann_lsh_topk",
+    "ivf_ann_topk",
+    "windowed_event_counts",
     "token_counts",
     "union_fold",
 ]

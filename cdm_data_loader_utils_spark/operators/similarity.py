@@ -287,6 +287,83 @@ def ann_topk_lsh(
     )
 
 
+def ivf_centroids_by_id(
+    df: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic coarse-quantizer codebook: the vectors with the
+    ``n_centroids`` smallest ids. A seeded k-means would give tighter cells;
+    id-order selection is reproducible in ANY engine (the correctness-gate
+    oracle re-derives the same codebook in SQL), and IVF recall/cost
+    tradeoffs are codebook-agnostic."""
+    return (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+
+
+def ivf_assign_df(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmax 6dp-rounded cosine,
+    ties → smallest cid). One broadcast cross join (N×C rows, C tiny) folded
+    by a single ``max_by`` hash aggregate — no per-vector window shuffle.
+    At scale, write the output partitioned by ``centroid_id`` so probes scan
+    only nprobe partitions."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cid"),
+        F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("__s"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by("cid", F.struct(F.col("__s"), (-F.col("cid")).alias("nc"))).alias(
+            "centroid_id"
+        ),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors assigned to the ``nprobe``
+    centroids nearest the query. The recall/latency knob is nprobe; with
+    nprobe = n_centroids this is exhaustive. Driver touches only the C
+    centroid rows (collected to pick probe cells); everything else is one
+    broadcast join + pruned scan shape."""
+    cents = ivf_centroids_by_id(df, n_centroids, vec_col, id_col)
+    qc = F.array(*[F.lit(float(x)) for x in query])
+    probe_cids = [
+        r["cid"]
+        for r in cents.select(
+            "cid", F.round(cosine(F.col("cv"), qc), 6).alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .collect()
+    ]
+    assigned = ivf_assign_df(df, cents, vec_col, id_col)
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe_cids))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), qc), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],

@@ -721,6 +721,49 @@ def q_ann_lsh_topk(spark, sf_dir):
     return S.ann_topk_lsh(e, [1.0] * 64, k=10, num_planes=4)
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF approximate top-k (coarse quantize → probe nprobe cells → exact
+    rank within). Oracle-checked: the codebook derives from data (smallest
+    vec_ids), so DuckDB rebuilds the identical assignment + probe in SQL."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, [1.0] * 64, k=10, n_centroids=8, nprobe=2)
+
+
+def _ivf_oracle_sql(k: int = 10, n_centroids: int = 8, nprobe: int = 2) -> str:
+    q = "[" + ", ".join(["1.0"] * 64) + "]"
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  ORDER BY vec_id ASC LIMIT {n_centroids}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.cv AS DOUBLE[])), 6) AS s
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, embedding, cid AS centroid_id FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+qc AS (
+  SELECT cid FROM c
+  ORDER BY round(list_cosine_similarity(CAST(cv AS DOUBLE[]),
+                                        CAST({q} AS DOUBLE[])), 6) DESC,
+           cid ASC
+  LIMIT {nprobe}
+)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST({q} AS DOUBLE[])), 6) AS score
+FROM assign WHERE centroid_id IN (SELECT cid FROM qc)
+ORDER BY score DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def q_stopword_ratio(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return d.select(
@@ -1181,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "stopword_ratio": q_stopword_ratio,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -1229,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_blocked": _COSINE_PAIRS_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "ann_lsh_topk": _ann_oracle_sql([1.0] * 64, k=10, num_planes=4),
+        "ivf_ann_topk": _ivf_oracle_sql(k=10, n_centroids=8, nprobe=2),
         "stopword_ratio": _STOPWORD_ORACLE,
         "token_counts": _TOKEN_COUNT_ORACLE,
         "curation_pipeline": _CURATION_ORACLE,

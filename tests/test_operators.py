@@ -399,3 +399,20 @@ def test_ann_multiprobe_improves_recall(spark):
     r_probe = len(probed & set(exact)) / len(exact)
     assert r_probe >= r_single
     assert full == set(exact)  # radius = num_planes probes every bucket
+
+
+def test_ivf_topk_probes_cells(spark):
+    """IVF with nprobe < n_centroids returns in-cell ranking; with
+    nprobe = n_centroids it equals the exact top-k."""
+    from cdm_data_loader_utils_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [1.0] * 64
+    exact = [r.vec_id for r in cosine_topk(e, q, k=10).collect()]
+    full = [r.vec_id for r in ivf_topk(e, q, k=10, n_centroids=8, nprobe=8).collect()]
+    assert full == exact
+    probed = [r.vec_id for r in ivf_topk(e, q, k=10, n_centroids=8, nprobe=2).collect()]
+    assert len(probed) == 10  # probing 2 of 8 cells still fills k
