@@ -104,18 +104,34 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.6,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ threshold).
 
     shingle-explode → equi-join on shingle → per-pair intersection count →
     |A∪B| = |A|+|B|−|A∩B|. The shingle join is the classic inverted-index
-    trick: only documents sharing ≥1 shingle ever meet, so cost is bounded by
-    shingle-bucket skew (truncate ultra-common shingles upstream at corpus
-    scale)."""
+    trick: only documents sharing ≥1 shingle ever meet, so cost is bounded
+    by shingle-bucket skew.
+
+    ``max_shingle_df`` is the corpus-scale skew guard: shingles appearing in
+    more than that many documents (boilerplate, stop-phrases) are dropped
+    from the JOIN ONLY — a shingle shared by k documents contributes k² join
+    rows, so one ubiquitous shingle is quadratic on its own. Pair scores
+    stay exact for pairs that still meet on ≥1 informative shingle (sizes
+    are computed BEFORE the cut and the intersection count keeps every
+    surviving common shingle... note: dropping a shingle common to a pair
+    lowers that pair's measured intersection, so this is a recall guard, not
+    free — leave it None for the exact oracle tier, set it for corpora)."""
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
     ).withColumn("sz", F.size("sh"))
     ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        ex = (
+            ex.join(dfreq.filter(F.col("__df") <= max_shingle_df), "s")
+            .drop("__df")
+        )
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))

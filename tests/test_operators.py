@@ -416,3 +416,32 @@ def test_ivf_topk_probes_cells(spark):
     assert full == exact
     probed = [r.vec_id for r in ivf_topk(e, q, k=10, n_centroids=8, nprobe=2).collect()]
     assert len(probed) == 10  # probing 2 of 8 cells still fills k
+
+
+def test_jaccard_max_shingle_df_guard(spark):
+    """The document-frequency cut drops only ubiquitous shingles from the
+    join: pairs sharing informative shingles keep their (conservative)
+    scores; pairs related ONLY through boilerplate disappear."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common alpha beta gamma"),
+            (2, "common alpha beta gamma"),
+            (3, "common zzz yyy xxx"),
+            (4, "common qqq ppp ooo"),
+        ],
+        ["doc_id", "text"],
+    )
+    # 'common' is in every doc; with the cut at df<=2 it can't join anyone
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(
+            docs, n=1, threshold=0.5, max_shingle_df=2
+        ).collect()
+    }
+    assert (1, 2) in guarded          # still meet on alpha/beta/gamma
+    assert (3, 4) not in guarded      # related only via 'common'
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, n=1, threshold=0.5).collect()
+    }
+    assert guarded <= exact           # guard never invents pairs

@@ -108,3 +108,40 @@ def test_replay_equals_fold(spark, tmp_path_factory, events):
         .collect()
     }
     assert got == python_fold(events)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0, max_size=40,
+    )
+)
+def test_connected_components_equals_union_find(spark, edges):
+    """Property: distributed min-label propagation == classic union-find on
+    arbitrary random graphs (self-loops and duplicates included)."""
+    from cdm_data_loader_utils_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert got == expected
