@@ -71,7 +71,7 @@ def cmd_compact(args) -> None:
     table.compact(purge_tombstones_below_lsn=args.purge_below_lsn)
     removed = table.expire_snapshots(keep_last=args.keep_snapshots)
     print(f"compacted; expired {removed} orphan files; "
-          f"{len(table.snapshot()['files'])} live files")
+          f"{len(table.files())} live files")
 
 
 def cmd_metrics(args) -> None:

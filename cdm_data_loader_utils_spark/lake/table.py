@@ -59,8 +59,11 @@ META_DELETED = "__deleted"
 _META_COLS = (META_LSN, META_DELETED)
 
 _LOG_DIR = "_log"
+_MANIFEST_DIR = "_log/manifests"
 _DATA_DIR = "data"
 _BUCKET_COL = "__bucket"
+# manifest key for files with no bucket (unbucketed tables)
+_NO_BUCKET = "u"
 
 # max distinct incoming keys the MERGE existence probe will broadcast; above
 # this (or when unknown) it falls back to a shuffled semi-join — a 2%-of-table
@@ -151,6 +154,7 @@ class LakeTable:
     ) -> "LakeTable":
         t = cls(spark, path, fs=fs)
         t.fs.mkdirs(t.fs.join(t.path, _LOG_DIR))
+        t.fs.mkdirs(t.fs.join(t.path, _MANIFEST_DIR))
         t.fs.mkdirs(t.fs.join(t.path, _DATA_DIR))
         if t._latest_version() is not None:
             raise FileExistsError(f"table already exists at {path}")
@@ -168,7 +172,12 @@ class LakeTable:
             "schemas": {"0": _schema_json(schema)},
             "bucket_by": bucket_by,
             "bucket_count": bucket_count if bucket_by else None,
-            "files": [],
+            # bucket-key → immutable manifest file (the file LIST lives in
+            # per-bucket manifests, not inline: a commit that touches k
+            # buckets writes k manifests + one O(bucket_count) snapshot —
+            # never an O(total-files) blob. Same split as Iceberg's
+            # manifest-list / manifest layering.
+            "manifests": {},
             "fences": {},
             "summary": {},
             "properties": properties or {},
@@ -239,6 +248,51 @@ class LakeTable:
             ) from e
         return snap["snapshot_id"]
 
+    # ------------------------------------------------------------ manifests
+    def _write_manifest(self, entries: list[FileEntry]) -> str:
+        """Persist one immutable per-bucket manifest; returns its name."""
+        name = f"m-{uuid.uuid4().hex[:16]}.json"
+        self.fs.write_text_exclusive(
+            self.fs.join(self.path, _MANIFEST_DIR, name),
+            json.dumps([fe.to_json() for fe in entries]),
+        )
+        return name
+
+    def _read_manifest(self, name: str) -> list[FileEntry]:
+        """Manifests are immutable → cache per table handle."""
+        cache = getattr(self, "_manifest_cache", None)
+        if cache is None:
+            cache = self._manifest_cache = {}
+        if name not in cache:
+            doc = read_json_with_retry(
+                self.fs, self.fs.join(self.path, _MANIFEST_DIR, name)
+            )
+            cache[name] = [FileEntry.from_json(d) for d in doc]
+        return cache[name]
+
+    def files(self, snapshot: dict | int | None = None) -> list[FileEntry]:
+        """All live data files of a snapshot (reads its manifests)."""
+        snap = (
+            snapshot
+            if isinstance(snapshot, dict)
+            else self.snapshot(snapshot)
+        )
+        out: list[FileEntry] = []
+        for name in snap["manifests"].values():
+            out.extend(self._read_manifest(name))
+        return out
+
+    def _manifests_from_entries(
+        self, entries: list[FileEntry]
+    ) -> dict[str, str]:
+        """Group entries per bucket and write one manifest each."""
+        groups: dict[str, list[FileEntry]] = {}
+        for fe in entries:
+            groups.setdefault(
+                _NO_BUCKET if fe.bucket is None else str(fe.bucket), []
+            ).append(fe)
+        return {k: self._write_manifest(v) for k, v in groups.items()}
+
     # -------------------------------------------------------------- schema
     def schema(self, snapshot: dict | None = None) -> T.StructType:
         snap = snapshot or self.snapshot()
@@ -260,7 +314,7 @@ class LakeTable:
         snap = self.snapshot(snapshot_id)
         cur = self.schema(snap)
         groups: dict[int, list[str]] = {}
-        for fe in (FileEntry.from_json(d) for d in snap["files"]):
+        for fe in self.files(snap):
             groups.setdefault(fe.schema_id, []).append(self.fs.join(self.path, fe.path))
         parts: list[DataFrame] = []
         for sid, paths in groups.items():
@@ -354,7 +408,7 @@ class LakeTable:
             )
         return entries
 
-    def _next_snap(self, base: dict, operation: str, files: list[FileEntry],
+    def _next_snap(self, base: dict, operation: str, manifests: dict[str, str],
                    summary: dict | None, fence_key: str | None,
                    schemas: dict | None = None, current_schema_id: int | None = None) -> dict:
         snap = {
@@ -368,7 +422,7 @@ class LakeTable:
             "schemas": schemas if schemas is not None else base["schemas"],
             "bucket_by": base.get("bucket_by"),
             "bucket_count": base.get("bucket_count"),
-            "files": [fe.to_json() for fe in files],
+            "manifests": manifests,
             "fences": dict(base["fences"]),
             "summary": summary or {},
             "properties": base.get("properties", {}),
@@ -376,6 +430,42 @@ class LakeTable:
         if fence_key is not None:
             snap["fences"][fence_key] = snap["snapshot_id"]
         return snap
+
+    def _replace_entries(
+        self,
+        snap: dict,
+        removed_paths: set[str],
+        added: list[FileEntry],
+        only_keys: set[str] | None = None,
+    ) -> dict[str, str]:
+        """New manifest map: drop ``removed_paths``, append ``added`` —
+        rewriting manifests ONLY for buckets that actually changed; all
+        other buckets carry forward by manifest reference (O(touched)
+        metadata per commit, not O(total files))."""
+        out = dict(snap["manifests"])
+        add_groups: dict[str, list[FileEntry]] = {}
+        for fe in added:
+            add_groups.setdefault(
+                _NO_BUCKET if fe.bucket is None else str(fe.bucket), []
+            ).append(fe)
+        scan_keys = set(out) if only_keys is None else (only_keys & set(out))
+        changed: dict[str, list[FileEntry]] = {}
+        if removed_paths:
+            for k in scan_keys:
+                entries = self._read_manifest(out[k])
+                kept = [fe for fe in entries if fe.path not in removed_paths]
+                if len(kept) != len(entries):
+                    changed[k] = kept
+        for k in set(changed) | set(add_groups):
+            base_entries = changed.get(k)
+            if base_entries is None:
+                base_entries = self._read_manifest(out[k]) if k in out else []
+            new_entries = base_entries + add_groups.get(k, [])
+            if new_entries:
+                out[k] = self._write_manifest(new_entries)
+            else:
+                out.pop(k, None)
+        return out
 
     def _prepare_write(self, df: DataFrame, snap: dict) -> tuple[DataFrame, dict, int]:
         """Reconcile incoming schema with the table, evolving if needed.
@@ -427,9 +517,9 @@ class LakeTable:
             return fenced
         aligned, schemas, sid = self._prepare_write(df, snap)
         new_files = self._write_files(aligned, snap, sid)
-        existing = [FileEntry.from_json(d) for d in snap["files"]]
+        manifests = self._replace_entries(snap, set(), new_files)
         nxt = self._next_snap(
-            snap, "append", existing + new_files, summary, fence_key,
+            snap, "append", manifests, summary, fence_key,
             schemas=schemas, current_schema_id=sid,
         )
         nxt["summary"].setdefault("rows_written", sum(fe.rows for fe in new_files))
@@ -448,8 +538,8 @@ class LakeTable:
         aligned, schemas, sid = self._prepare_write(df, snap)
         new_files = self._write_files(aligned, snap, sid)
         nxt = self._next_snap(
-            snap, "overwrite", new_files, summary, fence_key,
-            schemas=schemas, current_schema_id=sid,
+            snap, "overwrite", self._manifests_from_entries(new_files),
+            summary, fence_key, schemas=schemas, current_schema_id=sid,
         )
         nxt["summary"].setdefault("rows_written", sum(fe.rows for fe in new_files))
         return self._commit(nxt)
@@ -487,7 +577,7 @@ class LakeTable:
         fenced = self._fence_hit(snap, fence_key)
         if fenced is not None:
             return fenced, 0
-        existing = [FileEntry.from_json(d) for d in snap["files"]]
+        existing = self.files(snap)
         schema = self.schema(snap)
         has_del = META_DELETED in [f.name for f in schema.fields]
         live_cond = condition
@@ -507,7 +597,6 @@ class LakeTable:
             )
             return snap["snapshot_id"], 0
         affected = [fe for fe in existing if fe.path in hit]
-        carried = [fe for fe in existing if fe.path not in hit]
         rows = self._read_files(snap, affected, with_file_col=False)
         # ONE select so the condition evaluates against the ORIGINAL row —
         # chained withColumn would re-evaluate it against already-updated
@@ -524,9 +613,8 @@ class LakeTable:
             ]
         )
         rewritten = self._write_files(_align_to_schema(rows, schema), snap, snap["current_schema_id"])
-        nxt = self._next_snap(
-            snap, "update", carried + rewritten, summary, fence_key
-        )
+        manifests = self._replace_entries(snap, hit, rewritten)
+        nxt = self._next_snap(snap, "update", manifests, summary, fence_key)
         nxt["summary"].setdefault("rows_updated", rows_updated)
         nxt["summary"].setdefault("files_rewritten", len(affected))
         return self._commit(nxt), rows_updated
@@ -620,22 +708,27 @@ class LakeTable:
             (F.col(op_col) == F.lit("d")).alias(META_DELETED),
         )
 
-        existing = [FileEntry.from_json(d) for d in snap["files"]]
-
-        # 3. bucket pruning: which buckets does the batch touch?
+        # 3. bucket pruning at the MANIFEST level: only the touched buckets'
+        #    manifests are even read; every other bucket carries forward as
+        #    one opaque manifest reference (commit metadata ∝ touched
+        #    buckets, never total file count)
         bucket = self._bucket_expr(snap)
-        candidates: list[FileEntry]
-        if bucket is not None and existing and all(fe.bucket is not None for fe in existing):
+        manifests: dict[str, str] = snap["manifests"]
+        candidate_keys: set[str]
+        if bucket is not None and manifests and _NO_BUCKET not in manifests:
             # caller may already know the touched buckets (e.g. the replay
             # path computes them in its lineage aggregation) — saves a job
             touched = touched_buckets if touched_buckets is not None else {
                 r[0]
                 for r in src.select(bucket.alias("b")).distinct().collect()
             }
-            candidates = [fe for fe in existing if fe.bucket in touched]
+            candidate_keys = {str(b) for b in touched} & set(manifests)
         else:
-            candidates = list(existing)
-        carried = [fe for fe in existing if fe not in candidates]
+            candidate_keys = set(manifests)
+        candidates = [
+            fe for k in sorted(candidate_keys)
+            for fe in self._read_manifest(manifests[k])
+        ]
 
         # 4. file-level existence probe: keep candidate files with no matching
         #    key as carry-forward metadata (no rewrite). For DENSE batches
@@ -651,7 +744,6 @@ class LakeTable:
         )
         if candidates and dense:
             affected = candidates
-            carried = [fe for fe in existing if fe not in candidates]
         elif candidates:
             tgt = self._read_files(snap, candidates, with_file_col=True)
             keyed_src = src.select(*key_cols).distinct()
@@ -667,7 +759,6 @@ class LakeTable:
                 .collect()
             }
             affected = [fe for fe in candidates if fe.path in hit_files]
-            carried += [fe for fe in candidates if fe.path not in hit_files]
         # 5. rewrite affected files merged with source (the full-outer join
         # also carries source-only rows, i.e. brand-new keys, so ONE write
         # covers updates, deletes and inserts)
@@ -704,9 +795,14 @@ class LakeTable:
             out_rows = _align_to_schema(src, full_schema)
         rewritten_files = self._write_files(out_rows, snap, sid)
 
-        all_files = carried + rewritten_files
+        new_manifests = self._replace_entries(
+            snap,
+            {fe.path for fe in affected},
+            rewritten_files,
+            only_keys=candidate_keys,
+        )
         nxt = self._next_snap(
-            snap, "merge", all_files, summary, fence_key,
+            snap, "merge", new_manifests, summary, fence_key,
             schemas=schemas, current_schema_id=sid,
         )
         nxt["summary"].setdefault("files_rewritten", len(affected))
@@ -753,7 +849,10 @@ class LakeTable:
                 max(1, int(snap["bucket_count"]) * target_files_per_bucket), bucket
             )
         new_files = self._write_files(_align_to_schema(df, self.schema(snap)), snap, sid)
-        nxt = self._next_snap(snap, "compact", new_files, {"compacted": True}, None)
+        nxt = self._next_snap(
+            snap, "compact", self._manifests_from_entries(new_files),
+            {"compacted": True}, None,
+        )
         return self._commit(nxt)
 
     def expire_snapshots(self, keep_last: int = 1,
@@ -769,21 +868,33 @@ class LakeTable:
         versions = self._versions()
         keep = set(versions[-keep_last:])
         live: set[str] = set()
+        live_manifests: set[str] = set()
         for v in keep:
             snap = self.snapshot(v)
-            live |= {d["path"] for d in snap["files"]}
+            live_manifests |= set(snap["manifests"].values())
+            live |= {fe.path for fe in self.files(snap)}
         removed = 0
         for v in versions:
             if v not in keep:
                 self.fs.delete(self._log_path(v))
-        data_root = self.fs.join(self.path, _DATA_DIR)
         cutoff_ms = (time.time() - grace_seconds) * 1000
+        data_root = self.fs.join(self.path, _DATA_DIR)
         for p in self.fs.walk_files(data_root):
             rel = self._uri_to_rel(p)
             if rel in live:
                 continue
             if any(comp.startswith("_staging_") for comp in rel.split("/")):
                 continue
+            if self.fs.mtime_ms(p) > cutoff_ms:
+                continue
+            self.fs.delete(p)
+            removed += 1
+        # orphaned manifests (superseded per-bucket file lists)
+        mdir = self.fs.join(self.path, _MANIFEST_DIR)
+        for name in self.fs.list_names(mdir):
+            if name in live_manifests or not name.startswith("m-"):
+                continue
+            p = self.fs.join(mdir, name)
             if self.fs.mtime_ms(p) > cutoff_ms:
                 continue
             self.fs.delete(p)

@@ -178,9 +178,9 @@ def test_compact_and_expire(spark, warehouse):
     )
     for i in range(4):
         t.append(_df(spark, [(f"k{i}", i)]))
-    n_before = len(t.snapshot()["files"])
+    n_before = len(t.files())
     t.compact()
-    assert len(t.snapshot()["files"]) < n_before
+    assert len(t.files()) < n_before
     assert t.read().count() == 4
     # grace_seconds=0: this test owns the table exclusively — the default
     # grace period protects concurrent writers' in-flight files
@@ -197,7 +197,7 @@ def test_merge_only_rewrites_touched_buckets(spark, warehouse):
         spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=8
     )
     t.append(_df(spark, [(f"k{i}", i) for i in range(64)]))
-    files_before = {f["path"] for f in t.snapshot()["files"]}
+    files_before = {f.path for f in t.files()}
     src_schema = T.StructType(
         [
             T.StructField("k", T.StringType()),
@@ -209,7 +209,7 @@ def test_merge_only_rewrites_touched_buckets(spark, warehouse):
     t.merge_cdc(
         spark.createDataFrame([("k3", 333, "u", 99)], src_schema), key_cols=["k"]
     )
-    files_after = {f["path"] for f in t.snapshot()["files"]}
+    files_after = {f.path for f in t.files()}
     carried = files_before & files_after
     assert carried, "untouched-bucket files must carry forward unchanged"
     assert t.snapshot()["summary"]["files_rewritten"] <= 1
@@ -361,3 +361,28 @@ def test_expire_grace_protects_fresh_orphans(spark, warehouse):
     assert t.expire_snapshots(keep_last=1) == 0
     assert t.expire_snapshots(keep_last=1, grace_seconds=0) > 0
     assert [(r.k, r.v) for r in t.read().collect()] == [("b", 2)]
+
+
+def test_merge_carries_untouched_manifests_by_reference(spark, warehouse):
+    """Scale property of the metadata layer: a merge touching one bucket
+    rewrites ONLY that bucket's manifest — every other bucket's manifest
+    carries forward as the same file reference, so commit metadata is
+    O(touched buckets), never O(total files)."""
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=8
+    )
+    t.append(_df(spark, [(f"k{i}", i) for i in range(64)]))
+    m_before = dict(t.snapshot()["manifests"])
+    src_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    t.merge_cdc(
+        spark.createDataFrame([("k3", 333, "u", 99)], src_schema), key_cols=["k"]
+    )
+    m_after = dict(t.snapshot()["manifests"])
+    changed = {k for k in m_before if m_after.get(k) != m_before[k]}
+    assert len(changed) <= 1, f"merge rewrote {len(changed)} manifests"
+    carried = {k for k in m_before if m_after.get(k) == m_before[k]}
+    assert len(carried) >= len(m_before) - 1 and carried
+    assert {(r.k, r.v) for r in t.read().collect()} >= {("k3", 333)}

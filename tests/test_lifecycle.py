@@ -36,13 +36,13 @@ def test_update_targets_only_matching_files(spark, warehouse):
         spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=8
     )
     t.append(_df(spark, [(f"k{i}", i) for i in range(32)]))
-    files_before = {f["path"] for f in t.snapshot()["files"]}
+    files_before = {f.path for f in t.files()}
     sid, n = t.update(F.col("k") == "k3", {"v": F.lit(999)})
     assert n == 1
     assert t.snapshot()["summary"]["rows_updated"] == 1
     got = {(r.k, r.v) for r in t.read().collect()}
     assert ("k3", 999) in got and len(got) == 32
-    carried = files_before & {f["path"] for f in t.snapshot()["files"]}
+    carried = files_before & {f.path for f in t.files()}
     assert carried, "files without matches must carry forward unchanged"
 
 
