@@ -164,6 +164,7 @@ class LakeTable:
             [T.StructField(f.name, f.dataType, nullable=True) for f in schema.fields]
         )
         snap = {
+            "format_version": 2,  # v2 = per-bucket manifests (v1 inlined files)
             "snapshot_id": 1,
             "parent_id": None,
             "timestamp_ms": int(time.time() * 1000),
@@ -259,10 +260,14 @@ class LakeTable:
         return name
 
     def _read_manifest(self, name: str) -> list[FileEntry]:
-        """Manifests are immutable → cache per table handle."""
+        """Manifests are immutable → cache per table handle (bounded: a
+        long-lived streaming handle sees a new manifest per touched bucket
+        per batch)."""
         cache = getattr(self, "_manifest_cache", None)
         if cache is None:
             cache = self._manifest_cache = {}
+        if len(cache) > 8192:
+            cache.clear()
         if name not in cache:
             doc = read_json_with_retry(
                 self.fs, self.fs.join(self.path, _MANIFEST_DIR, name)
@@ -412,6 +417,7 @@ class LakeTable:
                    summary: dict | None, fence_key: str | None,
                    schemas: dict | None = None, current_schema_id: int | None = None) -> dict:
         snap = {
+            "format_version": base.get("format_version", 2),
             "snapshot_id": base["snapshot_id"] + 1,
             "parent_id": base["snapshot_id"],
             "timestamp_ms": int(time.time() * 1000),

@@ -680,6 +680,16 @@ def q_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(d, pairs)
 
 
+def q_minhash_dedup_clusters(spark, sf_dir):
+    """The PRODUCTION dedup composition: MinHash+LSH verified pairs as
+    edges → connected components → cluster representatives — linear-time
+    candidate generation end-to-end, oracle-checked against the full LSH
+    pipeline + recursive closure re-derived in DuckDB SQL."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, n=1, num_hashes=64, bands=16, threshold=0.6)
+    return D.dedup_clusters(d, pairs)
+
+
 def q_cluster_dedup_stats(spark, sf_dir):
     """Apply-side of near-dup detection: drop every non-representative row,
     then account what survives per source — the curation-pipeline variant
@@ -1014,7 +1024,7 @@ GROUP BY source
 """
 
 
-def _minhash_oracle_sql(
+def _minhash_cte_body(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
@@ -1024,7 +1034,8 @@ def _minhash_oracle_sql(
     """Independent DuckDB re-derivation of the full MinHash+LSH pipeline —
     same sha256 base + affine family, banding, bucket guard, estimate
     prefilter and exact-Jaccard verification as
-    ``operators.dedup.minhash_lsh_pairs``."""
+    ``operators.dedup.minhash_lsh_pairs`` — as a reusable CTE body ending in
+    ``ver`` (scored pairs)."""
     from .operators.dedup import MINHASH_PRIME, affine_params
 
     r = num_hashes // bands
@@ -1038,7 +1049,7 @@ def _minhash_oracle_sql(
     idx_list = "[" + ", ".join(str(i + 1) for i in range(num_hashes)) + "]"
     est_floor = repr(est_fraction * threshold)
     return f"""
-WITH docs AS (
+docs AS (
   SELECT doc_id AS id, list_distinct(string_split({_NORM_SQL}, ' ')) AS sh
   FROM documents
 ),
@@ -1077,7 +1088,45 @@ ver AS (
                6) AS jaccard
   FROM est JOIN docs da ON da.id = est.id_a JOIN docs db ON db.id = est.id_b
 )
+"""
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> str:
+    body = _minhash_cte_body(num_hashes, bands, threshold)
+    return f"""
+WITH {body}
 SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+"""
+
+
+def _minhash_cluster_oracle_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> str:
+    """Composed oracle: the LSH pipeline's verified pairs as edges → the
+    recursive-CTE transitive closure → cluster representatives. Checks the
+    PRODUCTION dedup composition (LSH edges, not exact-jaccard edges)
+    end-to-end across engines."""
+    body = _minhash_cte_body(num_hashes, bands, threshold)
+    return f"""
+WITH RECURSIVE {body},
+mh_pairs AS (SELECT id_a, id_b FROM ver WHERE jaccard >= {threshold}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+walk(id, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+)
+SELECT id AS doc_id, min(reach) AS cluster_rep FROM walk GROUP BY id
 """
 
 
@@ -1217,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_near_dups": q_jaccard_near_dups,
         "dedup_clusters": q_dedup_clusters,
+        "minhash_dedup_clusters": q_minhash_dedup_clusters,
         "cluster_dedup_stats": q_cluster_dedup_stats,
         "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1264,6 +1314,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "jaccard_near_dups": _JACCARD_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "minhash_dedup_clusters": _minhash_cluster_oracle_sql(
+            num_hashes=64, bands=16, threshold=0.6
+        ),
         "cluster_dedup_stats": _CLUSTER_STATS_ORACLE,
         "minhash_lsh_near_dups": _minhash_oracle_sql(
             num_hashes=64, bands=16, threshold=0.6

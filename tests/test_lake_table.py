@@ -386,3 +386,32 @@ def test_merge_carries_untouched_manifests_by_reference(spark, warehouse):
     carried = {k for k in m_before if m_after.get(k) == m_before[k]}
     assert len(carried) >= len(m_before) - 1 and carried
     assert {(r.k, r.v) for r in t.read().collect()} >= {("k3", 333)}
+
+
+def test_concurrent_merge_and_append(spark, warehouse):
+    """Mixed-operation writers racing on the same snapshot version: both
+    retry through the optimistic loop and both land."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=4
+    )
+    t.append(_df(spark, [("seed", 0)]))
+    src_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+
+    def do_merge():
+        t.merge_cdc(
+            spark.createDataFrame([("m", 1, "i", 1)], src_schema), key_cols=["k"]
+        )
+
+    def do_append():
+        t.append(_df(spark, [("a", 2)]))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1, f2 = pool.submit(do_merge), pool.submit(do_append)
+        f1.result(), f2.result()
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {("seed", 0), ("m", 1), ("a", 2)}
