@@ -380,19 +380,24 @@ class LakeTable:
         commit_uid = uuid.uuid4().hex[:12]
         final_dir = self.fs.join(self.path, _DATA_DIR, commit_uid)
         bucket = self._bucket_expr(snap)
+        # table property overrides the session codec (throughput-vs-size
+        # knob per table: snappy for hot CDC targets, zstd for cold archive)
+        codec = (snap.get("properties") or {}).get("write.compression")
         if bucket is not None:
             # shuffle by bucket first so each task owns whole buckets —
             # otherwise partitionBy writes (tasks × buckets) tiny files and
             # the per-file metadata cost dominates the commit
             n_out = int(snap.get("bucket_count") or 16)
-            (
+            writer = (
                 df.withColumn(_BUCKET_COL, bucket)
                 .repartition(n_out, _BUCKET_COL)
                 .write.partitionBy(_BUCKET_COL)
-                .parquet(self.fs.spark_path(final_dir))
             )
         else:
-            df.write.parquet(self.fs.spark_path(final_dir))
+            writer = df.write
+        if codec:
+            writer = writer.option("compression", codec)
+        writer.parquet(self.fs.spark_path(final_dir))
         files = [
             p for p in self.fs.walk_files(final_dir) if p.endswith(".parquet")
         ]
@@ -837,10 +842,17 @@ class LakeTable:
 
     # ---------------------------------------------------------- maintenance
     def compact(self, purge_tombstones_below_lsn: int | None = None,
-                target_files_per_bucket: int = 1) -> int:
+                target_files_per_bucket: int = 1,
+                new_bucket_count: int | None = None) -> int:
         """Rewrite data into dense files (reference OPTIMIZE ZORDER analogue,
         ``core/spark_delta.py:144-150``); optionally purge tombstones whose
-        LSN is below the out-of-order watermark (safe physical delete)."""
+        LSN is below the out-of-order watermark (safe physical delete).
+
+        ``new_bucket_count`` re-buckets the table in the same pass — the
+        operational lever for growth: a table created at 256 buckets that
+        grows 100× re-buckets to 4,096 so per-bucket bytes (and merge
+        rewrite units) stay bounded. One full rewrite, atomic snapshot swap;
+        subsequent merges prune against the new layout."""
         snap = self.snapshot()
         df = self.read(include_meta=True)
         if purge_tombstones_below_lsn is not None and META_DELETED in df.columns:
@@ -849,6 +861,11 @@ class LakeTable:
                   & (F.col(META_LSN) < F.lit(purge_tombstones_below_lsn)))
             )
         sid = snap["current_schema_id"]
+        if new_bucket_count is not None:
+            if not snap.get("bucket_by"):
+                raise ValueError("cannot re-bucket an unbucketed table")
+            snap = dict(snap)
+            snap["bucket_count"] = int(new_bucket_count)
         bucket = self._bucket_expr(snap)
         if bucket is not None:
             df = df.repartition(
@@ -857,7 +874,7 @@ class LakeTable:
         new_files = self._write_files(_align_to_schema(df, self.schema(snap)), snap, sid)
         nxt = self._next_snap(
             snap, "compact", self._manifests_from_entries(new_files),
-            {"compacted": True}, None,
+            {"compacted": True, "bucket_count": snap.get("bucket_count")}, None,
         )
         return self._commit(nxt)
 

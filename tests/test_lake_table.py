@@ -415,3 +415,40 @@ def test_concurrent_merge_and_append(spark, warehouse):
         f1.result(), f2.result()
     got = {(r.k, r.v) for r in t.read().collect()}
     assert got == {("seed", 0), ("m", 1), ("a", 2)}
+
+
+def test_rebucket_via_compact(spark, warehouse):
+    """Growth lever: compact(new_bucket_count=N) atomically re-buckets; the
+    next merge prunes against the NEW layout."""
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=2
+    )
+    t.append(_df(spark, [(f"k{i}", i) for i in range(32)]))
+    t.compact(new_bucket_count=8)
+    snap = t.snapshot()
+    assert snap["bucket_count"] == 8
+    buckets = {f.bucket for f in t.files()}
+    assert len(buckets) > 2
+    # merges keep working and pruning against the new layout
+    src_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    t.merge_cdc(
+        spark.createDataFrame([("k5", 555, "u", 99)], src_schema), key_cols=["k"]
+    )
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert ("k5", 555) in got and len(got) == 32
+    assert t.snapshot()["summary"]["files_rewritten"] <= 1
+
+
+def test_compression_table_property(spark, warehouse):
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA,
+        properties={"write.compression": "snappy"},
+    )
+    t.append(_df(spark, [("a", 1)]))
+    assert any(".snappy.parquet" in f.path for f in t.files())
+    t2 = LakeTable.create(spark, os.path.join(warehouse, "t2"), SCHEMA)
+    t2.append(_df(spark, [("a", 1)]))
+    assert any(".zstd.parquet" in f.path for f in t2.files())  # session default
