@@ -717,6 +717,36 @@ def q_embedding_neardup_blocked(spark, sf_dir):
     return S.cosine_pairs_blocked(e, threshold=0.4)
 
 
+def q_embedding_dedup_clusters(spark, sf_dir):
+    """Embedding-cosine near-dup pairs → connected components → cluster
+    representatives: the apply-side of embedding dedup, oracle-checked via
+    the exact-pairs SQL chained into a recursive-CTE closure."""
+    e = load(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs(e, threshold=0.4)
+    return D.dedup_clusters(e, pairs, id_col="vec_id")
+
+
+_EMBEDDING_CLUSTERS_ORACLE = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+walk(id, reach) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+)
+SELECT id AS vec_id, min(reach) AS cluster_rep FROM walk GROUP BY id
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     return S.cosine_topk(e, [1.0] * 64, k=10)
@@ -1272,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -1324,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_oracle_sql(max_hamming=3, bands=4),
         "embedding_cosine_pairs": _COSINE_PAIRS_ORACLE,
         "embedding_neardup_blocked": _COSINE_PAIRS_ORACLE,
+        "embedding_dedup_clusters": _EMBEDDING_CLUSTERS_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "ann_lsh_topk": _ann_oracle_sql([1.0] * 64, k=10, num_planes=4),
         "ivf_ann_topk": _ivf_oracle_sql(k=10, n_centroids=8, nprobe=2),
