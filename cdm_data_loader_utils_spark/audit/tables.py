@@ -116,6 +116,10 @@ class AuditStore:
     # RUNNING row warns instead of silently passing (the reference's
     # `_table_not_updated` history check, audit/run.py:27-30).
     def start_run(self, run_id: str) -> None:
+        # idempotent: a resumed run must not stack a second RUNNING row
+        # (finish transitions match on status=RUNNING and would rewrite both)
+        if self.run_status(run_id) == RUN_STATUS_RUNNING:
+            return
         from pyspark.sql import types as T
 
         base = T.StructType(

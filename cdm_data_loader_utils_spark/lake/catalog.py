@@ -107,24 +107,28 @@ class Catalog:
         return LakeTable.load(self.spark, self.resolve(name))
 
     def drop(self, name: str, purge: bool = False) -> None:
-        _, m = self._read()
-        if name not in m:
-            return
-        path = m.pop(name)
-        # write the manifest without the dropped entry (full replace)
-        v = self._versions()[-1]
+        # compare-and-swap: version AND payload come from the SAME read, so
+        # a registration committed between read and write surfaces as a
+        # FileExistsError and the retry re-derives from the fresh manifest
+        # (deriving the payload from one read but the version slot from a
+        # later listing would silently erase the interleaved registration)
+        path = None
         attempt = 0
         while True:
+            v, m = self._read()
+            if name not in m:
+                break
+            path = m[name]
+            m2 = {k: p for k, p in m.items() if k != name}
             try:
                 self.fs.write_text_exclusive(
-                    self._manifest_path(v + 1), json.dumps(m)
+                    self._manifest_path(v + 1), json.dumps(m2)
                 )
                 break
             except FileExistsError:
                 attempt += 1
                 if attempt > 5:
                     raise
-                v, m2 = self._read()
-                m = {k: p for k, p in m2.items() if k != name}
-        if purge:
+                time.sleep(0.05 * attempt)
+        if purge and path is not None:
             self.fs.delete_dir(path)

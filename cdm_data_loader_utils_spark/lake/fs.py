@@ -171,21 +171,27 @@ class HadoopFilesystem:
             stream.close()
 
     def write_text_exclusive(self, path: str, data: str) -> None:
+        """Exclusive commit via ``create(path, overwrite=false)`` — the
+        claim on the target name is a SINGLE atomic namenode op on HDFS
+        (and a single create-exclusive call on local), unlike
+        check-then-rename whose two steps race on filesystems where rename
+        clobbers. Content is streamed after the claim, so a concurrent
+        reader may glimpse a partial file — every manifest/snapshot read
+        goes through :func:`read_json_with_retry` for exactly this reason.
+        Object stores without atomic create-if-absent (plain S3) still need
+        an external lock for MULTI-writer commits — the same caveat as
+        Delta/Iceberg on S3."""
         target = self._p(path)
-        if self._fs.exists(target):
-            raise FileExistsError(path)
-        tmp = self._p(path + f".tmp.{uuid.uuid4().hex}")
-        out = self._fs.create(tmp, True)
+        try:
+            out = self._fs.create(target, False)  # overwrite=false: atomic claim
+        except Exception as e:  # py4j wraps FileAlreadyExistsException
+            if "exist" in str(e).lower():
+                raise FileExistsError(path) from e
+            raise
         try:
             out.write(bytearray(data.encode("utf-8")))
         finally:
             out.close()
-        # HDFS rename atomically refuses an existing destination (the
-        # HDFSLogStore primitive); the exists() pre-check above narrows the
-        # window on FS impls whose rename clobbers (raw local)
-        if not self._fs.rename(tmp, target):
-            self._fs.delete(tmp, False)
-            raise FileExistsError(path)
 
     def delete(self, path: str) -> None:
         self._fs.delete(self._p(path), False)

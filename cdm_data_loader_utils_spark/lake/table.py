@@ -199,6 +199,11 @@ class LakeTable:
             if is_uri(path):
                 if spark is None:
                     spark = SparkSession.getActiveSession()
+                if spark is None:
+                    raise ValueError(
+                        f"a SparkSession is required to check a URI path "
+                        f"({path}); pass spark= or fs= explicitly"
+                    )
                 fs = filesystem_for(spark, path)
             else:
                 fs = LocalFilesystem()
@@ -276,16 +281,32 @@ class LakeTable:
         return cache[name]
 
     def files(self, snapshot: dict | int | None = None) -> list[FileEntry]:
-        """All live data files of a snapshot (reads its manifests)."""
+        """All live data files of a snapshot (reads its manifests).
+
+        Format-v1 snapshots (inline ``files`` list, pre-manifest) remain
+        READABLE; writes to them raise a clear migration error instead of a
+        KeyError (see :meth:`_require_v2`)."""
         snap = (
             snapshot
             if isinstance(snapshot, dict)
             else self.snapshot(snapshot)
         )
+        if "manifests" not in snap:
+            return [FileEntry.from_json(d) for d in snap.get("files", [])]
         out: list[FileEntry] = []
         for name in snap["manifests"].values():
             out.extend(self._read_manifest(name))
         return out
+
+    @staticmethod
+    def _require_v2(snap: dict) -> dict[str, str]:
+        if "manifests" not in snap:
+            raise RuntimeError(
+                "snapshot uses legacy format v1 (inline file list); it is "
+                "readable but not writable by this version — migrate with "
+                "write_table(spark, new_path, old_table.read())"
+            )
+        return snap["manifests"]
 
     def _manifests_from_entries(
         self, entries: list[FileEntry]
@@ -453,7 +474,7 @@ class LakeTable:
         rewriting manifests ONLY for buckets that actually changed; all
         other buckets carry forward by manifest reference (O(touched)
         metadata per commit, not O(total files))."""
-        out = dict(snap["manifests"])
+        out = dict(self._require_v2(snap))
         add_groups: dict[str, list[FileEntry]] = {}
         for fe in added:
             add_groups.setdefault(
@@ -640,10 +661,19 @@ class LakeTable:
         summary: dict | None = None,
         fence_key: str | None = None,
         touched_buckets: set[int] | None = None,
+        touched_buckets_count: int | None = None,
         incoming_rows: int | None = None,
         dense_probe_ratio: float = 0.02,
     ) -> int:
         """CDC MERGE: last-writer-wins upsert/delete, copy-on-write.
+
+        A ``touched_buckets`` hint is only honored together with
+        ``touched_buckets_count`` — the bucket_count the caller computed it
+        under. If the table was concurrently re-bucketed (``compact(
+        new_bucket_count=...)``), stale bucket ids would prune the WRONG
+        manifests and matched keys would silently re-insert; the count check
+        makes the merge recompute instead (on the first attempt AND on every
+        optimistic retry, each of which re-reads the snapshot).
 
         ``source`` must contain exactly one row per key (run
         :func:`operators.lww.lww_dedup` first), with ``op`` ∈ {i,u,d} and a
@@ -667,7 +697,8 @@ class LakeTable:
         return self._retry_commit(
             lambda: self._merge_once(
                 source, key_cols, lsn_col, op_col, summary, fence_key,
-                touched_buckets, incoming_rows, dense_probe_ratio,
+                touched_buckets, touched_buckets_count,
+                incoming_rows, dense_probe_ratio,
             )
         )
 
@@ -680,6 +711,7 @@ class LakeTable:
         summary: dict | None,
         fence_key: str | None,
         touched_buckets: set[int] | None,
+        touched_buckets_count: int | None,
         incoming_rows: int | None,
         dense_probe_ratio: float,
     ) -> int:
@@ -724,12 +756,18 @@ class LakeTable:
         #    one opaque manifest reference (commit metadata ∝ touched
         #    buckets, never total file count)
         bucket = self._bucket_expr(snap)
-        manifests: dict[str, str] = snap["manifests"]
+        manifests: dict[str, str] = self._require_v2(snap)
         candidate_keys: set[str]
         if bucket is not None and manifests and _NO_BUCKET not in manifests:
             # caller may already know the touched buckets (e.g. the replay
-            # path computes them in its lineage aggregation) — saves a job
-            touched = touched_buckets if touched_buckets is not None else {
+            # path computes them in its lineage aggregation) — saves a job.
+            # Honor the hint ONLY if it was computed under THIS snapshot's
+            # bucket_count (a concurrent re-bucket invalidates it).
+            hint_valid = (
+                touched_buckets is not None
+                and touched_buckets_count == int(snap["bucket_count"])
+            )
+            touched = touched_buckets if hint_valid else {
                 r[0]
                 for r in src.select(bucket.alias("b")).distinct().collect()
             }
@@ -894,7 +932,7 @@ class LakeTable:
         live_manifests: set[str] = set()
         for v in keep:
             snap = self.snapshot(v)
-            live_manifests |= set(snap["manifests"].values())
+            live_manifests |= set(snap.get("manifests", {}).values())
             live |= {fe.path for fe in self.files(snap)}
         removed = 0
         for v in versions:

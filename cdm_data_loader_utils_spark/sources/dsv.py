@@ -98,8 +98,14 @@ def export_single_csv(df: DataFrame, target: str, header: bool = True) -> str:
         .mode("overwrite")
         .csv(tmp)
     )
-    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
-    os.replace(part, target)
+    parts = glob.glob(os.path.join(tmp, "part-*.csv"))
+    if not parts:
+        raise FileNotFoundError(
+            f"no local part file under {tmp}: export_single_csv requires a "
+            "driver-local target (Spark wrote to the cluster default FS); "
+            "export to a distributed path with df.write.csv directly"
+        )
+    os.replace(parts[0], target)
     shutil.rmtree(tmp, ignore_errors=True)
     return target
 

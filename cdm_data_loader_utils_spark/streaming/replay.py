@@ -133,6 +133,11 @@ def apply_batch(
             lsn_col="lsn",
             op_col="op",
             touched_buckets=touched,
+            # the bucket_count the lineage hash used — a concurrent
+            # re-bucket invalidates the hint and the merge recomputes
+            touched_buckets_count=(
+                int(snap["bucket_count"]) if snap.get("bucket_by") else None
+            ),
             incoming_rows=rows_applied,
             summary={
                 "run_id": run_id,

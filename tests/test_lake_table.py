@@ -452,3 +452,38 @@ def test_compression_table_property(spark, warehouse):
     t2 = LakeTable.create(spark, os.path.join(warehouse, "t2"), SCHEMA)
     t2.append(_df(spark, [("a", 1)]))
     assert any(".zstd.parquet" in f.path for f in t2.files())  # session default
+
+
+def test_stale_touched_buckets_hint_is_ignored_after_rebucket(spark, warehouse):
+    """Review regression: a touched-buckets hint computed under an old
+    bucket_count must be discarded (not trusted) after a re-bucket — a
+    stale hint would prune the wrong manifests and re-insert matched keys."""
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=2
+    )
+    src_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    t.merge_cdc(
+        spark.createDataFrame([(f"k{i}", i, "i", i) for i in range(16)], src_schema),
+        key_cols=["k"],
+    )
+    # hint computed under bucket_count=2
+    stale_hint = {
+        r[0]
+        for r in spark.createDataFrame([("k3",)], ["k"])
+        .select(F.pmod(F.xxhash64("k"), F.lit(2)).cast("int").alias("b"))
+        .collect()
+    }
+    t.compact(new_bucket_count=8)  # concurrent re-bucket
+    t.merge_cdc(
+        spark.createDataFrame([("k3", 999, "u", 99)], src_schema),
+        key_cols=["k"],
+        touched_buckets=stale_hint,
+        touched_buckets_count=2,  # no longer matches the snapshot → ignored
+    )
+    rows = {(r.k, r.v) for r in t.read().collect()}
+    assert ("k3", 999) in rows and len(rows) == 16
+    dup = t.read().groupBy("k").count().filter(F.col("count") > 1).count()
+    assert dup == 0

@@ -183,3 +183,25 @@ def test_export_single_csv(spark, tmp_path):
     lines = open(target).read().strip().splitlines()
     assert lines[0] == "k,v" and set(lines[1:]) == {"a,1", "b,2"}
     assert not os.path.exists(target + ".__tmp__")
+
+
+def test_start_run_is_idempotent_on_resume(spark, warehouse):
+    """Review regression: resuming a crashed run must not stack a second
+    RUNNING row (finish transitions would rewrite both)."""
+    audit = AuditStore(spark, warehouse)
+    audit.start_run("r")
+    audit.start_run("r")  # resume of the same run
+    running = (
+        audit.runs.read()
+        .filter((F.col("run_id") == "r") & (F.col("status") == "RUNNING"))
+        .count()
+    )
+    assert running == 1
+    assert audit.complete_run("r") == 1
+
+
+def test_catalog_drop_missing_is_noop(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    cat.register("a.t")
+    cat.drop("nope")  # must not raise or disturb existing entries
+    assert "a.t" in cat.tables()
