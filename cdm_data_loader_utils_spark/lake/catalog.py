@@ -12,13 +12,12 @@ registrations are safe on any filesystem the FS layer supports.
 
 from __future__ import annotations
 
-import json
 import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from .fs import filesystem_for, read_json_with_retry
+from .fs import VersionedJsonLog, filesystem_for
 from .table import LakeTable
 
 _CATALOG_DIR = "_catalog"
@@ -32,41 +31,38 @@ class Catalog:
         self.fs = fs if fs is not None else filesystem_for(spark, warehouse)
         self.warehouse = self.fs.normalize(warehouse)
         self.fs.mkdirs(self.fs.join(self.warehouse, _CATALOG_DIR))
-
-    # ------------------------------------------------------------- manifest
-    def _versions(self) -> list[int]:
-        d = self.fs.join(self.warehouse, _CATALOG_DIR)
-        return sorted(
-            int(f[1:-5]) for f in self.fs.list_names(d)
-            if f.startswith("v") and f.endswith(".json")
+        self._log = VersionedJsonLog(
+            self.fs, self.fs.join(self.warehouse, _CATALOG_DIR)
         )
 
-    def _manifest_path(self, v: int) -> str:
-        return self.fs.join(self.warehouse, _CATALOG_DIR, f"v{v:020d}.json")
-
+    # ------------------------------------------------------------- manifest
     def _read(self) -> tuple[int, dict]:
-        vs = self._versions()
-        if not vs:
+        v = self._log.latest_version()
+        if v is None:
             return 0, {}
-        m = read_json_with_retry(self.fs, self._manifest_path(vs[-1]))
-        return vs[-1], m
+        return v, self._log.read(v)
 
-    def _write(self, tables: dict, max_retries: int = 5) -> None:
+    def _cas(self, mutate, max_retries: int = 5) -> None:
+        """Read-modify-write with optimistic retry; version slot and payload
+        always derive from the SAME read (the shared VersionedJsonLog
+        contract). ``mutate(dict) -> dict | None``; None means no-op."""
         attempt = 0
         while True:
             v, cur = self._read()
-            merged = dict(cur)
-            merged.update(tables)
+            nxt = mutate(dict(cur))
+            if nxt is None:
+                return
             try:
-                self.fs.write_text_exclusive(
-                    self._manifest_path(v + 1), json.dumps(merged)
-                )
+                self._log.write_exclusive(v + 1, nxt)
                 return
             except FileExistsError:
                 if attempt >= max_retries:
                     raise
                 time.sleep(0.05 * (2 ** attempt))
                 attempt += 1
+
+    def _write(self, tables: dict) -> None:
+        self._cas(lambda m: {**m, **tables})
 
     # --------------------------------------------------------------- tables
     def table_path(self, name: str) -> str:
@@ -107,28 +103,14 @@ class Catalog:
         return LakeTable.load(self.spark, self.resolve(name))
 
     def drop(self, name: str, purge: bool = False) -> None:
-        # compare-and-swap: version AND payload come from the SAME read, so
-        # a registration committed between read and write surfaces as a
-        # FileExistsError and the retry re-derives from the fresh manifest
-        # (deriving the payload from one read but the version slot from a
-        # later listing would silently erase the interleaved registration)
-        path = None
-        attempt = 0
-        while True:
-            v, m = self._read()
+        dropped: list[str] = []
+
+        def _mut(m: dict):
             if name not in m:
-                break
-            path = m[name]
-            m2 = {k: p for k, p in m.items() if k != name}
-            try:
-                self.fs.write_text_exclusive(
-                    self._manifest_path(v + 1), json.dumps(m2)
-                )
-                break
-            except FileExistsError:
-                attempt += 1
-                if attempt > 5:
-                    raise
-                time.sleep(0.05 * attempt)
-        if purge and path is not None:
-            self.fs.delete_dir(path)
+                return None  # no-op; nothing to commit
+            dropped.append(m.pop(name))
+            return m
+
+        self._cas(_mut)
+        if purge and dropped:
+            self.fs.delete_dir(dropped[-1])

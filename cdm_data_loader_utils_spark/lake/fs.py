@@ -211,6 +211,45 @@ class HadoopFilesystem:
         return urlparse(path).path if is_uri(path) else path
 
 
+class VersionedJsonLog:
+    """Append-only log of versioned JSON documents with atomic
+    create-exclusive commits — the shared optimistic-concurrency primitive
+    behind both the table snapshot log and the catalog manifest.
+
+    Version slot and payload MUST derive from the same read when doing a
+    read-modify-write: ``write_exclusive(v+1, doc)`` fails with
+    FileExistsError if another writer claimed the slot first, and the caller
+    retries from a fresh read (never from a fresh version listing alone —
+    that pattern silently drops interleaved commits)."""
+
+    def __init__(self, fs, dir_path: str, prefix: str = "v"):
+        self.fs = fs
+        self.dir = dir_path
+        self.prefix = prefix
+
+    def path(self, version: int) -> str:
+        return self.fs.join(self.dir, f"{self.prefix}{version:020d}.json")
+
+    def versions(self) -> list[int]:
+        n = len(self.prefix)
+        return sorted(
+            int(f[n:-5]) for f in self.fs.list_names(self.dir)
+            if f.startswith(self.prefix) and f.endswith(".json")
+            and f[n:-5].isdigit()
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def read(self, version: int) -> dict:
+        return read_json_with_retry(self.fs, self.path(version))
+
+    def write_exclusive(self, version: int, doc) -> int:
+        self.fs.write_text_exclusive(self.path(version), json.dumps(doc))
+        return version
+
+
 def read_json_with_retry(fs, path: str, attempts: int = 5) -> dict:
     """Read a manifest defensively: on stores whose create isn't
     content-atomic a reader could glimpse a partial file mid-commit; a parse

@@ -51,7 +51,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .fs import LocalFilesystem, filesystem_for, is_uri, read_json_with_retry
+from .fs import (
+    LocalFilesystem,
+    VersionedJsonLog,
+    filesystem_for,
+    is_uri,
+    read_json_with_retry,
+)
 
 # hidden columns carried in data files but excluded from user reads
 META_LSN = "__lsn"
@@ -213,25 +219,29 @@ class LakeTable:
         )
 
     # ------------------------------------------------------------ log access
+    @property
+    def _log(self) -> VersionedJsonLog:
+        log = getattr(self, "_log_handle", None)
+        if log is None:
+            log = self._log_handle = VersionedJsonLog(
+                self.fs, self.fs.join(self.path, _LOG_DIR)
+            )
+        return log
+
     def _log_path(self, version: int) -> str:
-        return self.fs.join(self.path, _LOG_DIR, f"v{version:020d}.json")
+        return self._log.path(version)
 
     def _latest_version(self) -> int | None:
-        versions = self._versions()
-        return max(versions) if versions else None
+        return self._log.latest_version()
 
     def _versions(self) -> list[int]:
-        log = self.fs.join(self.path, _LOG_DIR)
-        return sorted(
-            int(f[1:-5]) for f in self.fs.list_names(log)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        return self._log.versions()
 
     def snapshot(self, snapshot_id: int | None = None) -> dict:
         v = snapshot_id if snapshot_id is not None else self._latest_version()
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
-        return read_json_with_retry(self.fs, self._log_path(v))
+        return self._log.read(v)
 
     @property
     def snapshot_id(self) -> int:
@@ -245,14 +255,11 @@ class LakeTable:
     def _commit(self, snap: dict) -> int:
         """Atomic create-exclusive commit — optimistic concurrency control."""
         try:
-            self.fs.write_text_exclusive(
-                self._log_path(snap["snapshot_id"]), json.dumps(snap)
-            )
+            return self._log.write_exclusive(snap["snapshot_id"], snap)
         except FileExistsError as e:
             raise CommitConflictError(
                 f"snapshot {snap['snapshot_id']} already committed"
             ) from e
-        return snap["snapshot_id"]
 
     # ------------------------------------------------------------ manifests
     def _write_manifest(self, entries: list[FileEntry]) -> str:
