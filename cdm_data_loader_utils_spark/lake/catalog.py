@@ -61,17 +61,34 @@ class Catalog:
                 time.sleep(0.05 * (2 ** attempt))
                 attempt += 1
 
-    def _write(self, tables: dict) -> None:
-        self._cas(lambda m: {**m, **tables})
-
     # --------------------------------------------------------------- tables
     def table_path(self, name: str) -> str:
         """Default physical layout: dots become directory levels."""
         return self.fs.join(self.warehouse, *name.split("."))
 
-    def register(self, name: str, path: str | None = None) -> str:
+    def register(self, name: str, path: str | None = None,
+                 overwrite: bool = False) -> str:
+        """Map ``name`` → ``path``. Re-registering the SAME path is a no-op;
+        re-pointing an existing name to a DIFFERENT path silently orphans the
+        old table's data, so it raises unless ``overwrite=True`` (the CAS
+        mutate re-checks on every retry, so a racing first-register wins and
+        the loser surfaces the conflict instead of last-writer-wins)."""
         p = path if path is not None else self.table_path(name)
-        self._write({name: p})
+
+        def _mut(m: dict):
+            old = m.get(name)
+            if old == p:
+                return None  # idempotent re-register
+            if old is not None and not overwrite:
+                raise ValueError(
+                    f"catalog name {name!r} already maps to {old!r}; pass "
+                    f"overwrite=True to re-point it to {p!r} (the old "
+                    f"table's data is NOT deleted)"
+                )
+            m[name] = p
+            return m
+
+        self._cas(_mut)
         return p
 
     def resolve(self, name: str) -> str:
@@ -101,6 +118,28 @@ class Catalog:
 
     def load_table(self, name: str) -> LakeTable:
         return LakeTable.load(self.spark, self.resolve(name))
+
+    def register_views(self, names: list[str] | None = None) -> dict[str, str]:
+        """Bridge the catalog into ``spark.sql``: every registered lake table
+        becomes a session-catalog VIEW under its namespace database, so
+        downstream users run ``spark.sql("SELECT … FROM ns.t")`` directly —
+        the reference's register-table-and-view surface
+        (``parsers/gene_association_file.py:225-242``).
+
+        Views pin the CURRENT snapshot's file list (see
+        :meth:`LakeTable.as_sql`); call again after commits to refresh.
+        Returns ``name → view identifier``. Names whose path holds no table
+        yet are skipped."""
+        out: dict[str, str] = {}
+        wanted = self.tables() if names is None else {
+            n: self.resolve(n) for n in names
+        }
+        for name, path in wanted.items():
+            if not LakeTable.exists(path, spark=self.spark):
+                continue
+            t = LakeTable.load(self.spark, path)
+            out[name] = t.to_view(name)
+        return out
 
     def drop(self, name: str, purge: bool = False) -> None:
         dropped: list[str] = []

@@ -38,6 +38,34 @@ def is_uri(path: str) -> bool:
     return "://" in path
 
 
+_ALREADY_EXISTS_CLASSES = (
+    "org.apache.hadoop.fs.FileAlreadyExistsException",
+    "org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException",
+    "java.nio.file.FileAlreadyExistsException",
+)
+
+
+def _is_already_exists(e: Exception) -> bool:
+    """True iff a py4j-wrapped JVM exception is a create-already-exists
+    conflict (the lost-the-commit-race signal), by exception CLASS."""
+    je = getattr(e, "java_exception", None)
+    names = []
+    if je is not None:
+        try:
+            j = je
+            while j is not None:
+                names.append(j.getClass().getName())
+                j = j.getCause()
+        except Exception:  # pragma: no cover - py4j introspection failure
+            pass
+    if any(n in _ALREADY_EXISTS_CLASSES for n in names):
+        return True
+    # HDFS RemoteException carries only the original class NAME in its
+    # message; match the fully-qualified class token, not bare "exist"
+    text = str(e)
+    return any(cls in text for cls in _ALREADY_EXISTS_CLASSES)
+
+
 def filesystem_for(spark, path: str):
     """Pick the filesystem implementation for a table root path."""
     if is_uri(path):
@@ -185,7 +213,13 @@ class HadoopFilesystem:
         try:
             out = self._fs.create(target, False)  # overwrite=false: atomic claim
         except Exception as e:  # py4j wraps FileAlreadyExistsException
-            if "exist" in str(e).lower():
+            # Match the EXCEPTION CLASS, not a message substring: Hadoop
+            # errors like "Parent path does not exist" or lease messages
+            # mentioning "existing" must surface as real infrastructure
+            # failures, never be mistaken for a lost commit race. HDFS wraps
+            # the class in a RemoteException whose str() carries the original
+            # class name, so the string check covers the wrapped form.
+            if _is_already_exists(e):
                 raise FileExistsError(path) from e
             raise
         try:

@@ -105,14 +105,130 @@ class FileEntry:
     bucket: int | None
     schema_id: int
     rows: int
+    # per-column value range for scan-time file skipping:
+    # {col: [min_enc, max_enc]} — encoded via _encode_stat (order-isomorphic
+    # JSON scalars); a null bound means unbounded on that side. None = no
+    # stats collected for this file (pre-stats commits stay readable).
+    stats: dict | None = None
 
     def to_json(self) -> dict:
-        return {"path": self.path, "bucket": self.bucket,
-                "schema_id": self.schema_id, "rows": self.rows}
+        d = {"path": self.path, "bucket": self.bucket,
+             "schema_id": self.schema_id, "rows": self.rows}
+        if self.stats:
+            d["stats"] = self.stats
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(d["path"], d.get("bucket"), d["schema_id"], d.get("rows", -1))
+        return FileEntry(d["path"], d.get("bucket"), d["schema_id"],
+                         d.get("rows", -1), d.get("stats"))
+
+
+# ---------------------------------------------------------------- file stats
+# Column types whose per-file min/max are collected by default in the same
+# executor-side job that already counts rows per file. Fixed-width types only
+# — a giant text column would turn the metadata job into a full text scan;
+# string/decimal columns opt in via the "stats.columns" table property.
+_STATS_DEFAULT_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.BooleanType,
+    T.TimestampType, T.TimestampNTZType, T.DateType,
+)
+# Longest string prefix kept as a bound. A truncated MIN is still a valid
+# lower bound; a truncated MAX is NOT a valid upper bound, so it is dropped
+# (unbounded above) — same safe-truncation rule as Iceberg's.
+_STATS_STR_PREFIX = 64
+
+
+def _stats_columns(schema: T.StructType, properties: dict | None) -> list[T.StructField]:
+    extra = set((properties or {}).get("stats.columns") or [])
+    out = []
+    for f in schema.fields:
+        if isinstance(f.dataType, _STATS_DEFAULT_TYPES) or f.name in extra:
+            if isinstance(f.dataType, (T.StringType, *_STATS_DEFAULT_TYPES)):
+                out.append(f)
+    return out
+
+
+def _encode_stat(v):
+    """Encode a collected min/max (or a predicate literal) as an
+    order-isomorphic JSON scalar: timestamps → epoch micros (naive treated as
+    UTC — the storage convention for TIMESTAMP_NTZ), dates → ordinal days,
+    numbers/bools/strings as-is. Both the stats writer and the predicate
+    pruner go through THIS function, so comparisons always happen in the
+    same encoded space."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            return int(
+                (v - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+            )
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    return v
+
+
+def _file_skippable(stats: dict | None, where: list[tuple]) -> bool:
+    """True iff the conjunctive predicate provably matches NO row of a file
+    with these stats. Conservative: missing stats / unknown ops never skip.
+    SQL three-valued logic makes skipping on value ranges safe for these ops
+    (a NULL never satisfies <,<=,>,>=,=,in)."""
+    if not stats:
+        return False
+    for col, op, value in where:
+        b = stats.get(col)
+        if b is None:
+            continue
+        lo, hi = b[0], b[1]  # encoded; None = unbounded
+        if op == "in":
+            vals = [_encode_stat(x) for x in value if x is not None]
+            if not vals:
+                return True  # IN () / IN (NULL) matches nothing
+            if all(
+                (lo is not None and x < lo) or (hi is not None and x > hi)
+                for x in vals
+            ):
+                return True
+            continue
+        v = _encode_stat(value)
+        if v is None:
+            continue  # col <op> NULL matches nothing, but filter handles it
+        if op == "=" and (
+            (lo is not None and v < lo) or (hi is not None and v > hi)
+        ):
+            return True
+        if op == "<" and lo is not None and lo >= v:
+            return True
+        if op == "<=" and lo is not None and lo > v:
+            return True
+        if op == ">" and hi is not None and hi <= v:
+            return True
+        if op == ">=" and hi is not None and hi < v:
+            return True
+    return False
+
+
+def _where_to_column(where: list[tuple]) -> F.Column:
+    ops = {
+        "=": lambda c, v: c == v,
+        "!=": lambda c, v: c != v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+        "in": lambda c, v: c.isin(*list(v)),
+    }
+    out = None
+    for col, op, value in where:
+        if op not in ops:
+            raise ValueError(f"unsupported predicate op {op!r}; one of {sorted(ops)}")
+        cond = ops[op](F.col(col), value)
+        out = cond if out is None else (out & cond)
+    return out if out is not None else F.lit(True)
 
 
 def _schema_json(schema: T.StructType) -> str:
@@ -237,7 +353,28 @@ class LakeTable:
     def _versions(self) -> list[int]:
         return self._log.versions()
 
-    def snapshot(self, snapshot_id: int | None = None) -> dict:
+    def snapshot(self, snapshot_id: int | None = None,
+                 as_of_timestamp_ms: int | None = None) -> dict:
+        """Current snapshot, or time travel by id or by timestamp.
+
+        ``as_of_timestamp_ms`` resolves to the LATEST snapshot whose
+        ``timestamp_ms`` ≤ the given instant — the same addressing Delta's
+        history offers by version and timestamp (reference reads both,
+        ``audit/run.py:64-114``)."""
+        if as_of_timestamp_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
+            best = None
+            for v in self._versions():
+                s = self._log.read(v)
+                if s["timestamp_ms"] <= as_of_timestamp_ms:
+                    best = s
+            if best is None:
+                raise FileNotFoundError(
+                    f"no snapshot at or before timestamp {as_of_timestamp_ms} "
+                    f"at {self.path}"
+                )
+            return best
         v = snapshot_id if snapshot_id is not None else self._latest_version()
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
@@ -336,18 +473,35 @@ class LakeTable:
         return T.StructType([f for f in self.schema().fields if f.name not in _META_COLS])
 
     # --------------------------------------------------------------- reads
-    def read(self, snapshot_id: int | None = None, include_meta: bool = False) -> DataFrame:
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        include_meta: bool = False,
+        where: list[tuple] | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
         """Current (or time-travel) state as a DataFrame.
 
         Files are grouped by the schema they were written with, each group is
         read with its exact schema, aligned to the current schema (typed-null
         fill for added columns, cast for widened ones) and unioned. Tombstoned
         rows are filtered out unless ``include_meta``.
+
+        ``where`` is a conjunctive list of ``(column, op, value)`` predicates
+        (ops ``= != < <= > >= in``). It is BOTH applied as a real filter on
+        the result (correctness never depends on pruning) and used to skip
+        whole files whose per-file min/max stats provably exclude every
+        predicate match — the Iceberg/Delta data-skipping read path, so a
+        ``("ts", ">=", X)`` scan of a sorted table touches only the matching
+        tail instead of every live file. Inspect the decision with
+        :meth:`plan_files`.
         """
-        snap = self.snapshot(snapshot_id)
+        snap = self.snapshot(snapshot_id, as_of_timestamp_ms=as_of_timestamp_ms)
         cur = self.schema(snap)
         groups: dict[int, list[str]] = {}
         for fe in self.files(snap):
+            if where and _file_skippable(fe.stats, where):
+                continue
             groups.setdefault(fe.schema_id, []).append(self.fs.join(self.path, fe.path))
         parts: list[DataFrame] = []
         for sid, paths in groups.items():
@@ -360,12 +514,115 @@ class LakeTable:
                 out = out.unionByName(p)
         else:
             out = self.spark.createDataFrame([], cur)
+        if where:
+            out = out.filter(_where_to_column(where))
         if not include_meta:
             has_del = META_DELETED in out.columns
             if has_del:
                 out = out.filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
             out = out.drop(*[c for c in _META_COLS if c in out.columns])
         return out
+
+    # ----------------------------------------------------------- SQL surface
+    def as_sql(self, snapshot_id: int | None = None,
+               include_meta: bool = False) -> str:
+        """The snapshot's state as one self-contained SQL SELECT over native
+        ``parquet.`file``` scans — same schema alignment and tombstone
+        filtering as :meth:`read`, but expressible as a catalog VIEW so
+        downstream users query the table by NAME in plain ``spark.sql``
+        (reference parity: ``register_table_and_view``,
+        ``parsers/gene_association_file.py:225-242``,
+        ``core/spark_delta.py:160-175``).
+
+        The file list is pinned at generation time (a VIEW stores text, not a
+        live log pointer) — re-run :meth:`to_view` /
+        :meth:`Catalog.register_views` after commits to refresh, and keep
+        ``expire_snapshots`` grace ≥ the refresh cadence so a pinned view
+        never loses files mid-query."""
+        snap = self.snapshot(snapshot_id)
+        cur = self.schema(snap)
+        out_fields = [
+            f for f in cur.fields if include_meta or f.name not in _META_COLS
+        ]
+
+        def q(ident: str) -> str:
+            return "`" + ident.replace("`", "``") + "`"
+
+        def file_ref(path: str) -> str:
+            if "`" in path:
+                raise ValueError(f"cannot SQL-quote path containing backtick: {path}")
+            return f"parquet.`{path}`"
+
+        groups: dict[int, list[str]] = {}
+        for fe in self.files(snap):
+            groups.setdefault(fe.schema_id, []).append(self.fs.join(self.path, fe.path))
+        has_del = META_DELETED in [f.name for f in cur.fields]
+        selects: list[str] = []
+        for sid, paths in groups.items():
+            fschema = _schema_from_json(snap["schemas"][str(sid)])
+            have = {f.name for f in fschema.fields}
+            proj_fields = list(out_fields)
+            if has_del and not include_meta:
+                proj_fields = proj_fields + [
+                    f for f in cur.fields if f.name == META_DELETED
+                ]
+            cols = ", ".join(
+                (
+                    f"CAST({q(f.name)} AS {f.dataType.simpleString()}) AS {q(f.name)}"
+                    if f.name in have
+                    else f"CAST(NULL AS {f.dataType.simpleString()}) AS {q(f.name)}"
+                )
+                for f in proj_fields
+            )
+            selects.extend(f"SELECT {cols} FROM {file_ref(p)}" for p in paths)
+        if not selects:
+            cols = ", ".join(
+                f"CAST(NULL AS {f.dataType.simpleString()}) AS {q(f.name)}"
+                for f in out_fields
+            )
+            return f"SELECT {cols} FROM (SELECT 1 AS __dummy) WHERE 1=0"
+        body = " UNION ALL ".join(selects)
+        if has_del and not include_meta:
+            names = ", ".join(q(f.name) for f in out_fields)
+            return (
+                f"SELECT {names} FROM ({body}) "
+                f"WHERE NOT coalesce({q(META_DELETED)}, false)"
+            )
+        return f"SELECT * FROM ({body})"
+
+    def to_view(self, view_name: str, snapshot_id: int | None = None) -> str:
+        """Register this table (optionally a time-travel snapshot) as a SQL
+        view: ``db.name`` creates the database in the session catalog. Returns
+        the view identifier ready for ``spark.sql(f"SELECT … FROM {ident}")``."""
+        parts = view_name.split(".")
+        if len(parts) > 2:
+            parts = ["_".join(parts[:-1]), parts[-1]]
+
+        def q(ident: str) -> str:
+            return "`" + ident.replace("`", "``") + "`"
+
+        if len(parts) == 2:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {q(parts[0])}")
+        ident = ".".join(q(p) for p in parts)
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW {ident} AS {self.as_sql(snapshot_id)}"
+        )
+        return ident
+
+    def plan_files(
+        self,
+        where: list[tuple] | None = None,
+        snapshot_id: int | None = None,
+    ) -> tuple[list[FileEntry], list[FileEntry]]:
+        """(scanned, skipped) file split a ``read(where=...)`` would make —
+        the observability hook for stats-based data skipping."""
+        scanned, skipped = [], []
+        for fe in self.files(self.snapshot(snapshot_id)):
+            if where and _file_skippable(fe.stats, where):
+                skipped.append(fe)
+            else:
+                scanned.append(fe)
+        return scanned, skipped
 
     def is_fenced(self, fence_key: str) -> int | None:
         """Snapshot id that already applied ``fence_key``, else None.
@@ -395,7 +652,8 @@ class LakeTable:
         p = unquote(parsed.path) if parsed.scheme else uri
         return posixpath.relpath(p, self._root_fs_path)
 
-    def _write_files(self, df: DataFrame, snap: dict, schema_id: int) -> list[FileEntry]:
+    def _write_files(self, df: DataFrame, snap: dict, schema_id: int,
+                     n_partitions: int | None = None) -> list[FileEntry]:
         """Write df as immutable parquet files, hash-bucketed if configured.
 
         Files land directly in their final per-commit directory — no staging
@@ -408,21 +666,37 @@ class LakeTable:
         commit_uid = uuid.uuid4().hex[:12]
         final_dir = self.fs.join(self.path, _DATA_DIR, commit_uid)
         bucket = self._bucket_expr(snap)
+        props = snap.get("properties") or {}
         # table property overrides the session codec (throughput-vs-size
         # knob per table: snappy for hot CDC targets, zstd for cold archive)
-        codec = (snap.get("properties") or {}).get("write.compression")
+        codec = props.get("write.compression")
+        # clustered write order: range-partition on (bucket, sort keys) then
+        # sort within partitions, so per-file key ranges are tight (and, for
+        # a compaction, disjoint) — that is what makes the per-file min/max
+        # stats below actually PRUNE on range scans (reference analogue:
+        # OPTIMIZE ZORDER BY, core/spark_delta.py:144-150)
+        sort_by: list[str] = list(props.get("write.sort_by") or [])
+        sort_by = [c for c in sort_by if c in df.columns]
         if bucket is not None:
             # shuffle by bucket first so each task owns whole buckets —
             # otherwise partitionBy writes (tasks × buckets) tiny files and
             # the per-file metadata cost dominates the commit
-            n_out = int(snap.get("bucket_count") or 16)
-            writer = (
-                df.withColumn(_BUCKET_COL, bucket)
-                .repartition(n_out, _BUCKET_COL)
-                .write.partitionBy(_BUCKET_COL)
-            )
+            n_out = n_partitions or int(snap.get("bucket_count") or 16)
+            dfb = df.withColumn(_BUCKET_COL, bucket)
+            if sort_by:
+                dfb = dfb.repartitionByRange(
+                    n_out, F.col(_BUCKET_COL), *[F.col(c) for c in sort_by]
+                ).sortWithinPartitions(_BUCKET_COL, *sort_by)
+            else:
+                dfb = dfb.repartition(n_out, _BUCKET_COL)
+            writer = dfb.write.partitionBy(_BUCKET_COL)
         else:
-            writer = df.write
+            dfu = df
+            if sort_by:
+                dfu = dfu.repartitionByRange(
+                    *[F.col(c) for c in sort_by]
+                ).sortWithinPartitions(*sort_by)
+            writer = dfu.write
         if codec:
             writer = writer.option("compression", codec)
         writer.parquet(self.fs.spark_path(final_dir))
@@ -431,18 +705,51 @@ class LakeTable:
         ]
         if not files:
             return []
+        # one executor-side pass per commit collects row counts AND per-file
+        # min/max for the fixed-width stats columns (strings opt in via the
+        # "stats.columns" property, truncated to a safe prefix); only
+        # O(files × stats-cols) scalars ever reach the driver
+        stat_fields = _stats_columns(df.schema, props)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for f in stat_fields:
+            if isinstance(f.dataType, T.StringType):
+                aggs.append(
+                    F.substring(F.min(f.name), 1, _STATS_STR_PREFIX + 1)
+                    .alias(f"__mn__{f.name}")
+                )
+                aggs.append(
+                    F.substring(F.max(f.name), 1, _STATS_STR_PREFIX + 1)
+                    .alias(f"__mx__{f.name}")
+                )
+            else:
+                aggs.append(F.min(f.name).alias(f"__mn__{f.name}"))
+                aggs.append(F.max(f.name).alias(f"__mx__{f.name}"))
         counts = (
             self.spark.read.schema(df.schema)
             .parquet(*[self.fs.spark_path(p) for p in files])
             .groupBy(F.input_file_name().alias("__f"))
-            .agg(F.count(F.lit(1)).alias("__rows"))
+            .agg(*aggs)
             .collect()
         )
         entries = []
         for r in counts:
             rel = self._uri_to_rel(r["__f"])
+            stats: dict = {}
+            for f in stat_fields:
+                mn, mx = r[f"__mn__{f.name}"], r[f"__mx__{f.name}"]
+                if mn is None and mx is None:
+                    continue  # all-null column in this file
+                if isinstance(f.dataType, T.StringType):
+                    # truncated MIN prefix is still a valid lower bound;
+                    # a truncated MAX is not a valid upper bound → drop it
+                    if mn is not None and len(mn) > _STATS_STR_PREFIX:
+                        mn = mn[:_STATS_STR_PREFIX]
+                    if mx is not None and len(mx) > _STATS_STR_PREFIX:
+                        mx = None
+                stats[f.name] = [_encode_stat(mn), _encode_stat(mx)]
             entries.append(
-                FileEntry(rel, _bucket_from_rel(rel), schema_id, int(r["__rows"]))
+                FileEntry(rel, _bucket_from_rel(rel), schema_id,
+                          int(r["__rows"]), stats or None)
             )
         return entries
 
@@ -888,7 +1195,8 @@ class LakeTable:
     # ---------------------------------------------------------- maintenance
     def compact(self, purge_tombstones_below_lsn: int | None = None,
                 target_files_per_bucket: int = 1,
-                new_bucket_count: int | None = None) -> int:
+                new_bucket_count: int | None = None,
+                sort_by: list[str] | None = None) -> int:
         """Rewrite data into dense files (reference OPTIMIZE ZORDER analogue,
         ``core/spark_delta.py:144-150``); optionally purge tombstones whose
         LSN is below the out-of-order watermark (safe physical delete).
@@ -897,8 +1205,20 @@ class LakeTable:
         operational lever for growth: a table created at 256 buckets that
         grows 100× re-buckets to 4,096 so per-bucket bytes (and merge
         rewrite units) stay bounded. One full rewrite, atomic snapshot swap;
-        subsequent merges prune against the new layout."""
+        subsequent merges prune against the new layout.
+
+        ``sort_by`` clusters rows by the given key(s) during the rewrite
+        (range-partitioned + sorted within files → per-file key ranges are
+        tight and disjoint) AND persists as the ``write.sort_by`` table
+        property so subsequent commits keep the clustering — together with
+        per-file min/max stats this is the ZORDER-style range-scan locality
+        the reference gets from Delta OPTIMIZE."""
         snap = self.snapshot()
+        if sort_by is not None:
+            snap = dict(snap)
+            props = dict(snap.get("properties") or {})
+            props["write.sort_by"] = list(sort_by)
+            snap["properties"] = props
         df = self.read(include_meta=True)
         if purge_tombstones_below_lsn is not None and META_DELETED in df.columns:
             df = df.filter(
@@ -911,12 +1231,13 @@ class LakeTable:
                 raise ValueError("cannot re-bucket an unbucketed table")
             snap = dict(snap)
             snap["bucket_count"] = int(new_bucket_count)
-        bucket = self._bucket_expr(snap)
-        if bucket is not None:
-            df = df.repartition(
-                max(1, int(snap["bucket_count"]) * target_files_per_bucket), bucket
-            )
-        new_files = self._write_files(_align_to_schema(df, self.schema(snap)), snap, sid)
+        n_parts = None
+        if snap.get("bucket_by"):
+            n_parts = max(1, int(snap["bucket_count"]) * target_files_per_bucket)
+        new_files = self._write_files(
+            _align_to_schema(df, self.schema(snap)), snap, sid,
+            n_partitions=n_parts,
+        )
         nxt = self._next_snap(
             snap, "compact", self._manifests_from_entries(new_files),
             {"compacted": True, "bucket_count": snap.get("bucket_count")}, None,
@@ -942,10 +1263,17 @@ class LakeTable:
             live_manifests |= set(snap.get("manifests", {}).values())
             live |= {fe.path for fe in self.files(snap)}
         removed = 0
-        for v in versions:
-            if v not in keep:
-                self.fs.delete(self._log_path(v))
         cutoff_ms = (time.time() - grace_seconds) * 1000
+        for v in versions:
+            if v in keep:
+                continue
+            # snapshot JSONs get the same grace as data files: a concurrent
+            # reader that just listed versions (or is time-traveling an older
+            # snapshot) must not hit FileNotFoundError mid-read
+            p = self._log_path(v)
+            if self.fs.mtime_ms(p) > cutoff_ms:
+                continue
+            self.fs.delete(p)
         data_root = self.fs.join(self.path, _DATA_DIR)
         for p in self.fs.walk_files(data_root):
             rel = self._uri_to_rel(p)

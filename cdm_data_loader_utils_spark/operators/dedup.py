@@ -317,6 +317,7 @@ def connected_components(
     labels = (
         sym.select("src").distinct().withColumn("label", F.col("src"))
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         # 1. propagate: label(v) = min over {v} ∪ neighbors(v) of labels —
         #    one shuffle on dst then groupBy src (self-loops carry own label)
@@ -346,7 +347,18 @@ def connected_components(
         )
         labels = jumped
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Partially-propagated labels are a SILENT wrong answer (two members
+        # of one cluster keep different representatives) — never return them
+        # quietly. Pointer jumping converges in O(log diameter) rounds, so
+        # hitting this means max_iter is far too low for the graph.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; labels would be incorrect — raise max_iter "
+            f"(components converge in O(log diameter) rounds)"
+        )
     return labels.select(F.col("src").alias("id"), "label")
 
 

@@ -119,13 +119,20 @@ def cosine_pairs_blocked(
     Packed-row size is bounded BY CONSTRUCTION: the chunk count scales with
     N, so a packed cell holds ~chunk_size vectors (± hash variance) at any
     corpus size — default 256 × 64-dim float64 ≈ 128 KB, never near the 2 GB
-    row limit. All-pairs work is still quadratic in N (inherent to exact
-    near-dup); the sub-quadratic scale path is :func:`lsh_bucket` blocking.
+    row limit. The C·(C+1)/2 chunk-pair keys are enumerated as a TINY int
+    DataFrame and equi-joined against the packed table twice (broadcasting
+    only the KEYS, never the packed vectors), so the packed side streams
+    through shuffled hash joins — no broadcast of O(N·d) bytes, hence no
+    driver/broadcast ceiling at ≫10^7 vectors. All-pairs work is still
+    quadratic in N (inherent to exact near-dup); the sub-quadratic scale
+    path is :func:`lsh_bucket` blocking.
 
-    Scores are float64; norms are computed with the same sequential-sum
-    JVM expression as :func:`cosine_pairs` and only the dot product runs in
-    numpy, so 6dp-rounded scores match the exact path and the DuckDB oracle
-    (verified in-gate, not just rows-only)."""
+    Scores are float64 and summation-order-EXACT vs :func:`cosine_pairs` and
+    the DuckDB oracle: the numpy matmul (pairwise/SIMD accumulation) is used
+    only as a candidate prefilter with a guard band; every emitted pair's dot
+    product is recomputed as a sequential left-to-right float64 fold — the
+    same order the JVM ``aggregate`` and DuckDB use — so a score landing on a
+    6dp rounding boundary can never flip between engines."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -149,10 +156,25 @@ def cosine_pairs_blocked(
         .groupBy("chk")
         .agg(F.sort_array(F.collect_list("e")).alias("es"))
     )
-    a = packed.select(F.col("chk").alias("chk_a"), F.col("es").alias("es_a"))
-    b = packed.select(F.col("chk").alias("chk_b"), F.col("es").alias("es_b"))
-    chunk_pairs = a.join(b, F.col("chk_a") <= F.col("chk_b")).repartition(
-        max(32, num_chunks)
+    spark = df.sparkSession
+    # enumerate the C·(C+1)/2 (chk_a ≤ chk_b) pair KEYS distributed (two
+    # int ranges — never a driver-side list), then resolve each side by
+    # broadcast-hash-joining the tiny key table against the packed chunks:
+    # the packed side is exchanged by chunk id, never broadcast
+    ra = spark.range(num_chunks).select(F.col("id").cast("int").alias("chk_a"))
+    rb = spark.range(num_chunks).select(F.col("id").cast("int").alias("chk_b"))
+    pair_keys = ra.join(rb, F.col("chk_a") <= F.col("chk_b"))
+    pa = packed.select(F.col("chk").alias("chk_a"), F.col("es").alias("es_a"))
+    pb = packed.select(F.col("chk").alias("chk_b"), F.col("es").alias("es_b"))
+    # shuffle_hash hints pin the packed sides to a SHUFFLED hash join: the
+    # broadcast size estimate from the key join must not propagate and trick
+    # the planner into broadcasting O(N·d) of packed vectors (the exact
+    # ceiling this formulation removes)
+    chunk_pairs = (
+        pa.join(F.broadcast(pair_keys), "chk_a")
+        .hint("shuffle_hash")
+        .join(pb.hint("shuffle_hash"), "chk_b")
+        .repartition(max(32, num_chunks))
     )
 
     out_schema = T.StructType(
@@ -162,6 +184,33 @@ def cosine_pairs_blocked(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+
+    def _round6(x: float) -> float:
+        # Spark's Round(double, 6) = HALF_UP on the shortest decimal repr
+        # (scala BigDecimal.decimal); Python's builtin round is HALF_EVEN —
+        # mirror the JVM exactly via Decimal on repr()
+        import decimal
+
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def _seq_dot(x, y) -> float:
+        # sequential left-to-right float64 fold — bit-identical to the JVM
+        # `aggregate(zip_with(...), 0.0, acc + v)` expression and DuckDB's
+        # list_dot_product loop; numpy matmul's pairwise/SIMD accumulation
+        # may differ in the last ulp, so it is only ever a PREFILTER
+        s = 0.0
+        for xv, yv in zip(x, y):
+            s += xv * yv
+        return s
+
+    # candidate guard band: anything the matmul scores within this margin of
+    # the threshold is rescored exactly; 1e-9 ≫ the worst-case accumulation-
+    # order error for unit-scale 64-dim float64 dots (~1e-13)
+    guard = 1e-9
 
     def _matmul(batches):
         for pdf in batches:
@@ -180,18 +229,29 @@ def cosine_pairs_blocked(
                 if same:
                     # keep strictly-upper triangle (id_a < id_b)
                     sims = np.where(ia[:, None] < ib[None, :], sims, -2.0)
-                ii, jj = np.where(np.round(sims, 6) >= threshold)
+                ii, jj = np.where(np.round(sims, 6) >= threshold - guard)
                 if len(ii) == 0:
                     continue
-                xa, xb = ia[ii], ib[jj]
-                swap = xa > xb
-                xa, xb = np.where(swap, xb, xa), np.where(swap, xa, xb)
+                # exact sequential rescoring of the (few) candidates decides
+                # inclusion AND the emitted score
+                keep_a, keep_b, keep_s = [], [], []
+                for i, j in zip(ii, jj):
+                    cos = _round6(_seq_dot(va[i], vb[j]) / (na[i] * nb[j]))
+                    if cos >= threshold:
+                        a_id, b_id = int(ia[i]), int(ib[j])
+                        if a_id > b_id:
+                            a_id, b_id = b_id, a_id
+                        keep_a.append(a_id)
+                        keep_b.append(b_id)
+                        keep_s.append(cos)
+                if not keep_a:
+                    continue
                 outs.append(
                     pd.DataFrame(
                         {
-                            "id_a": xa,
-                            "id_b": xb,
-                            "cosine": np.round(sims[ii, jj], 6),
+                            "id_a": pd.Series(keep_a, dtype="int64"),
+                            "id_b": pd.Series(keep_b, dtype="int64"),
+                            "cosine": pd.Series(keep_s, dtype="float64"),
                         }
                     )
                 )
@@ -212,11 +272,17 @@ def cosine_pairs_blocked(
 
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane: component j is a
-    hash-derived value in [-1, 1). Pure Python at plan time (tiny: dim×planes
-    floats baked into the plan as literals)."""
+    sha256-derived value in [-1, 1). Pure Python at plan time (tiny:
+    dim×planes floats baked into the plan as literals). sha256 — not the
+    builtin ``hash()`` — so the planes are bit-identical across interpreter
+    versions and engines (same portability family as the MinHash affine
+    params, ``dedup.py`` ``affine_params``)."""
+    import hashlib
+
     out = []
     for j in range(dim):
-        h = (hash((seed, plane, j)) & 0xFFFFFFFF) / 0xFFFFFFFF
+        digest = hashlib.sha256(f"hp:{seed}:{plane}:{j}".encode()).digest()
+        h = int.from_bytes(digest[:4], "big") / 0xFFFFFFFF
         out.append(2.0 * h - 1.0)
     return out
 

@@ -58,6 +58,31 @@ def codegen_span_count(df: DataFrame) -> int:
     return len(ids)
 
 
+def broadcast_subtrees(df: DataFrame) -> list[str]:
+    """The full operator subtree under each BroadcastExchange — lets a test
+    assert WHAT is broadcast (e.g. tiny key tables are fine, a packed
+    aggregate of the whole corpus is a scale bug)."""
+    lines = physical_plan(df).splitlines()
+
+    def indent(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-*"))
+
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = indent(line)
+        sub = [line]
+        for nxt in lines[i + 1:]:
+            if not nxt.strip():
+                break
+            if indent(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
 def plan_report(df: DataFrame) -> dict:
     return {
         "pushed_filters": pushed_filters(df),

@@ -143,6 +143,75 @@ ORDER BY conv_id, turn_idx
 
 
 # --------------------------------------------------------------------------
+# lake read path: stats-based file skipping + the spark.sql view bridge
+# --------------------------------------------------------------------------
+_DOCS_LAKE_CACHE: dict[str, object] = {}
+
+
+def _docs_lake_table(spark: SparkSession, sf_dir: str):
+    """One clustered lake copy of ``documents`` per (process, sf_dir):
+    bucketed by doc_id, compacted sorted by ``n_chars`` so per-file
+    min/max ranges are tight — the layout stats-based file skipping needs
+    (reference analogue: Delta stats + OPTIMIZE ZORDER,
+    ``parsers/refseq_pipeline/core/spark_delta.py:144-150``)."""
+    t = _DOCS_LAKE_CACHE.get(sf_dir)
+    if t is not None:
+        return t
+    import atexit
+    import shutil
+
+    from .lake.table import LakeTable
+
+    tmp = tempfile.mkdtemp(prefix="lake_docs_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "documents"), docs.schema,
+        bucket_by="doc_id", bucket_count=4,
+    )
+    table.append(docs)
+    table.compact(sort_by=["n_chars"], target_files_per_bucket=4)
+    _DOCS_LAKE_CACHE[sf_dir] = table
+    return table
+
+
+def q_lake_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping on the lake read path: per-file n_chars
+    min/max (collected in the commit's metadata job) prune files whose range
+    cannot satisfy the predicate, and the surviving files are filtered —
+    result must equal the plain SQL filter over the same rows."""
+    table = _docs_lake_table(spark, sf_dir)
+    return table.read(where=[("n_chars", ">=", 400)]).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_LAKE_PRUNED_ORACLE = (
+    "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 400"
+)
+
+
+def q_lake_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog→SQL bridge: the lake table registered as a session-catalog
+    view and queried by NAME through plain ``spark.sql`` (reference parity:
+    ``register_table_and_view``, ``parsers/gene_association_file.py:
+    225-242``)."""
+    table = _docs_lake_table(spark, sf_dir)
+    ident = table.to_view("lake.docs")
+    return spark.sql(
+        f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+        f"FROM {ident} WHERE n_chars >= 200 GROUP BY lang"
+    )
+
+
+_LAKE_VIEW_ORACLE = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars >= 200 GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # snapshot diff family (J1-J4, P6)
 # --------------------------------------------------------------------------
 def _halves(spark, sf_dir):
@@ -1293,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_join_fallback": q_left_join_fallback,
         "composite_outer_join": q_composite_outer_join,
         "windowed_event_counts": q_windowed_event_counts,
+        "lake_pruned_read": q_lake_pruned_read,
+        "lake_sql_view": q_lake_sql_view,
         "exact_dedup": q_exact_dedup,
         "jaccard_near_dups": q_jaccard_near_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -1342,6 +1413,8 @@ def oracle_sql() -> dict[str, str]:
         "left_join_fallback": _LEFTJOIN_ORACLE,
         "composite_outer_join": _COMPOSITE_ORACLE,
         "windowed_event_counts": _WINDOWED_ORACLE,
+        "lake_pruned_read": _LAKE_PRUNED_ORACLE,
+        "lake_sql_view": _LAKE_VIEW_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "jaccard_near_dups": _JACCARD_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,

@@ -108,8 +108,9 @@ def read_xml_records(
     behind the UniProt/metalink parsers (``parsers/uniprot/uniprot_kb.py:
     365-433``). Files load whole via ``binaryFile`` (one task per file);
     an Arrow-batched ``mapInPandas`` iterparses each, emitting one row per
-    matching subtree as serialized XML, clearing the root between records so
-    memory stays O(record), not O(file).
+    matching subtree as serialized XML, detaching every finished element from
+    its parent (parent-stack tracked, so arbitrarily nested record tags and
+    never-matching files stay bounded) — memory is O(record), not O(file).
 
     ``namespace=None`` matches on local tag name; otherwise the exact
     ``{namespace}tag``. Malformed XML does not fail the task: records parsed
@@ -137,24 +138,41 @@ def read_xml_records(
                 if path.endswith(".gz"):
                     data = gzip.decompress(data)
                 idx = 0
-                root = None
+                # Parent stack so finished elements can be detached from
+                # their OWN parent (root.clear() only drops the root's
+                # direct children — a record tag nested two+ levels down
+                # would accumulate in its intermediate container, and a
+                # never-matching file would accumulate everything, making
+                # memory O(file) instead of O(record)).
+                stack: list = []
+                want_depth = 0  # how many open ancestors match the tag
                 try:
                     for event, elem in ET.iterparse(
                         io.BytesIO(data), events=("start", "end")
                     ):
-                        if event == "start":
-                            if root is None:
-                                root = elem
-                            continue
                         name = elem.tag if namespace else elem.tag.split("}")[-1]
+                        if event == "start":
+                            stack.append(elem)
+                            if name == want:
+                                want_depth += 1
+                            continue
+                        stack.pop()
                         if name == want:
+                            want_depth -= 1
                             emit(
                                 path, idx, elem.tag,
                                 ET.tostring(elem, encoding="unicode"), None,
                             )
                             idx += 1
-                            if root is not None and elem is not root:
-                                root.clear()  # drop finished subtrees
+                        # A finished element outside any open record subtree
+                        # is never serialized again: clear it and detach it
+                        # from its parent (it is always the parent's LAST
+                        # child at its end event, so removal is O(1)).
+                        if want_depth == 0 and stack:
+                            parent = stack[-1]
+                            elem.clear()
+                            if len(parent) and parent[-1] is elem:
+                                del parent[-1]
                 except ET.ParseError as e:
                     emit(path, idx, None, None, str(e))
             yield pd.DataFrame(rows)

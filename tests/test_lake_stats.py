@@ -1,0 +1,299 @@
+"""Round-3 lake read-path features: per-file column stats, predicate-based
+file skipping, sorted (clustered) writes, timestamp time travel, the
+spark.sql view bridge, and the maintenance/catalog hardening items.
+
+Reference analogues: Delta per-file stats + OPTIMIZE ZORDER
+(``/root/reference/src/cdm_data_loader_utils/parsers/refseq_pipeline/core/
+spark_delta.py:144-150``) and register-table-and-view
+(``parsers/gene_association_file.py:225-242``)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdm_data_loader_utils_spark.lake.catalog import Catalog
+from cdm_data_loader_utils_spark.lake.fs import _is_already_exists
+from cdm_data_loader_utils_spark.lake.table import (
+    LakeTable,
+    _encode_stat,
+    _file_skippable,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.IntegerType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ]
+)
+
+
+def _rows(n, base_day=1):
+    return [
+        (f"k{i:04d}", i, datetime.datetime(2026, 1, base_day, 0, 0, i % 60))
+        for i in range(n)
+    ]
+
+
+def _df(spark, rows, schema=SCHEMA):
+    return spark.createDataFrame(rows, schema)
+
+
+# ------------------------------------------------------------------- stats
+def test_file_stats_collected_for_fixed_width_columns(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(40)))
+    entries = t.files()
+    assert entries
+    for fe in entries:
+        assert fe.stats is not None
+        # fixed-width columns get bounds by default; strings do not
+        assert "v" in fe.stats and "ts" in fe.stats
+        assert "k" not in fe.stats
+        lo, hi = fe.stats["v"]
+        assert lo is not None and hi is not None and lo <= hi
+    # global min/max across files must cover the data
+    los = [fe.stats["v"][0] for fe in entries]
+    his = [fe.stats["v"][1] for fe in entries]
+    assert min(los) == 0 and max(his) == 39
+
+
+def test_string_stats_opt_in_with_safe_truncation(spark, warehouse):
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"),
+        T.StructType([T.StructField("s", T.StringType()),
+                      T.StructField("v", T.IntegerType())]),
+        properties={"stats.columns": ["s"]},
+    )
+    long_lo = "a" * 100
+    long_hi = "z" * 100
+    t.append(
+        _df(spark, [(long_lo, 1), (long_hi, 2)], schema="s string, v int")
+        .coalesce(1)
+    )
+    (fe,) = t.files()
+    lo, hi = fe.stats["s"]
+    # truncated MIN prefix is a valid lower bound; truncated MAX is dropped
+    assert lo == "a" * 64
+    assert hi is None
+    # short strings keep exact bounds
+    t2 = LakeTable.create(
+        spark, os.path.join(warehouse, "t2"),
+        T.StructType([T.StructField("s", T.StringType())]),
+        properties={"stats.columns": ["s"]},
+    )
+    t2.append(spark.createDataFrame([("b",), ("m",)], "s string").coalesce(1))
+    (fe2,) = t2.files()
+    assert fe2.stats["s"] == ["b", "m"]
+
+
+def test_file_skippable_rules():
+    stats = {"v": [10, 20], "s": ["b", None]}
+    assert _file_skippable(stats, [("v", ">", 20)])
+    assert _file_skippable(stats, [("v", ">=", 21)])
+    assert _file_skippable(stats, [("v", "<", 10)])
+    assert _file_skippable(stats, [("v", "<=", 9)])
+    assert _file_skippable(stats, [("v", "=", 25)])
+    assert _file_skippable(stats, [("v", "in", [1, 2, 30])])
+    assert not _file_skippable(stats, [("v", "=", 15)])
+    assert not _file_skippable(stats, [("v", "in", [15])])
+    assert not _file_skippable(stats, [("v", "!=", 15)])  # never prunes
+    # unbounded max side never prunes upward
+    assert not _file_skippable(stats, [("s", ">", "zzz")])
+    assert _file_skippable(stats, [("s", "<", "a")])
+    # missing stats / unknown column → conservative keep
+    assert not _file_skippable(None, [("v", "=", 1)])
+    assert not _file_skippable({}, [("v", "=", 1)])
+    assert not _file_skippable(stats, [("other", "=", 1)])
+
+
+def test_encode_stat_timestamp_and_date_ordering():
+    a = _encode_stat(datetime.datetime(2026, 1, 1))
+    b = _encode_stat(datetime.datetime(2026, 1, 2))
+    assert a < b
+    assert _encode_stat(datetime.date(2026, 1, 1)) < _encode_stat(
+        datetime.date(2026, 1, 2)
+    )
+
+
+def test_read_where_prunes_files_and_filters_rows(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(30, base_day=1)))
+    t.append(_df(spark, _rows(30, base_day=5)))
+    # cluster by ts so per-file ranges become disjoint and prunable
+    t.compact(sort_by=["ts"], target_files_per_bucket=3)
+    cutoff = datetime.datetime(2026, 1, 5)
+    scanned, skipped = t.plan_files(where=[("ts", ">=", cutoff)])
+    assert skipped, "stats-based skipping eliminated no files"
+    # every skipped file's max ts is provably below the cutoff
+    enc = _encode_stat(cutoff)
+    for fe in skipped:
+        assert fe.stats["ts"][1] is not None and fe.stats["ts"][1] < enc
+    got = t.read(where=[("ts", ">=", cutoff)])
+    want = t.read().filter(F.col("ts") >= F.lit(cutoff))
+    assert got.count() == want.count() == 30
+    # result equality, not just counts
+    assert {r.k for r in got.collect()} == {r.k for r in want.collect()}
+
+
+def test_compact_sort_by_gives_disjoint_per_file_ranges(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=1)
+    import random
+
+    rows = _rows(120)
+    random.Random(7).shuffle(rows)
+    t.append(_df(spark, rows))
+    t.compact(sort_by=["v"], target_files_per_bucket=4)
+    entries = [fe for fe in t.files() if fe.rows > 0]
+    assert len(entries) > 1, "compaction produced a single file; test is vacuous"
+    ranges = sorted((fe.stats["v"][0], fe.stats["v"][1]) for fe in entries)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {ranges}"
+    # the sort property persists for subsequent writes
+    assert t.snapshot()["properties"]["write.sort_by"] == ["v"]
+    t.append(_df(spark, _rows(10)))
+    assert t.read().count() == 130
+
+
+# ------------------------------------------------------------- time travel
+def test_timestamp_time_travel(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, _rows(3)))
+    ts_v2 = t.snapshot()["timestamp_ms"]
+    time.sleep(0.05)
+    t.append(_df(spark, _rows(3, base_day=9)))
+    assert t.read().count() == 6
+    assert t.read(as_of_timestamp_ms=ts_v2).count() == 3
+    assert t.snapshot(as_of_timestamp_ms=ts_v2)["snapshot_id"] == 2
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(as_of_timestamp_ms=ts_v2 - 10_000_000)
+    with pytest.raises(ValueError):
+        t.snapshot(snapshot_id=1, as_of_timestamp_ms=ts_v2)
+
+
+def test_expire_keeps_recent_snapshot_jsons_under_grace(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, _rows(2)))
+    t.append(_df(spark, _rows(2, base_day=9)))
+    # default grace: just-written snapshot JSONs survive so a concurrent
+    # time-traveling reader cannot hit FileNotFoundError
+    t.expire_snapshots(keep_last=1)
+    assert len(t.history()) == 3
+    t.expire_snapshots(keep_last=1, grace_seconds=0)
+    assert len(t.history()) == 1
+
+
+# -------------------------------------------------------------- SQL surface
+def test_catalog_register_views_spark_sql(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    t = cat.create_table("bronze.msgs", SCHEMA, bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(20)))
+    views = cat.register_views()
+    assert "bronze.msgs" in views
+    got = spark.sql("SELECT k, v, ts FROM bronze.msgs WHERE v >= 10")
+    assert got.count() == 10
+    assert {r.k for r in spark.sql("SELECT k FROM bronze.msgs").collect()} == {
+        r.k for r in t.read().collect()
+    }
+    # views pin the registration-time snapshot; refresh picks up new commits
+    t.append(_df(spark, _rows(5, base_day=9)))
+    assert spark.sql("SELECT count(*) AS n FROM bronze.msgs").collect()[0].n == 20
+    cat.register_views()
+    assert spark.sql("SELECT count(*) AS n FROM bronze.msgs").collect()[0].n == 25
+
+
+def test_to_view_time_travel_and_tombstones(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(4)))
+    v2 = t.snapshot_id
+    src = spark.createDataFrame(
+        [("k0000", 99, datetime.datetime(2026, 2, 1), 100, "u"),
+         ("k0001", None, None, 101, "d")],
+        "k string, v int, ts timestamp_ntz, lsn long, op string",
+    )
+    t.merge_cdc(src, key_cols=["k"], lsn_col="lsn", op_col="op")
+    ident = t.to_view("tt.cur")
+    old = t.to_view("tt.old", snapshot_id=v2)
+    cur_rows = {(r.k, r.v) for r in spark.sql(f"SELECT k, v FROM {ident}").collect()}
+    # tombstoned k0001 is filtered out of the view; k0000 shows merged value
+    assert ("k0000", 99) in cur_rows
+    assert all(k != "k0001" for k, _ in cur_rows)
+    assert len(cur_rows) == 3
+    assert spark.sql(f"SELECT count(*) AS n FROM {old}").collect()[0].n == 4
+
+
+def test_view_of_empty_table(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    ident = t.to_view("tt.empty")
+    df = spark.sql(f"SELECT * FROM {ident}")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v", "ts"]
+
+
+# ------------------------------------------------------ catalog + fs hardening
+def test_catalog_register_conflict(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    p1 = cat.register("a.t")
+    assert cat.register("a.t") == p1  # idempotent
+    other = os.path.join(warehouse, "elsewhere")
+    with pytest.raises(ValueError, match="already maps"):
+        cat.register("a.t", other)
+    assert cat.resolve("a.t") == p1
+    assert cat.register("a.t", other, overwrite=True) == other
+    assert cat.resolve("a.t") == other
+
+
+def test_already_exists_classification_is_class_based():
+    class FakeJavaClass:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class FakeJE:
+        def __init__(self, name, cause=None):
+            self._name, self._cause = name, cause
+
+        def getClass(self):
+            return FakeJavaClass(self._name)
+
+        def getCause(self):
+            return self._cause
+
+    class FakePy4J(Exception):
+        def __init__(self, msg, je=None):
+            super().__init__(msg)
+            self.java_exception = je
+
+    # real conflict: FileAlreadyExistsException (direct or as cause)
+    assert _is_already_exists(
+        FakePy4J("boom", FakeJE("org.apache.hadoop.fs.FileAlreadyExistsException"))
+    )
+    assert _is_already_exists(
+        FakePy4J("boom", FakeJE(
+            "java.io.IOException",
+            FakeJE("org.apache.hadoop.fs.FileAlreadyExistsException"),
+        ))
+    )
+    # HDFS RemoteException form: class name only in the message text
+    assert _is_already_exists(
+        FakePy4J("org.apache.hadoop.fs.FileAlreadyExistsException: /p exists")
+    )
+    # infrastructure failures mentioning 'exist' must NOT be misclassified
+    assert not _is_already_exists(
+        FakePy4J("Parent path does not exist: /warehouse/t/_log")
+    )
+    assert not _is_already_exists(
+        FakePy4J("lease on existing file", FakeJE("java.io.IOException"))
+    )

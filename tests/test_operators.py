@@ -445,3 +445,38 @@ def test_jaccard_max_shingle_df_guard(spark):
         for r in jaccard_pairs(docs, n=1, threshold=0.5).collect()
     }
     assert guarded <= exact           # guard never invents pairs
+
+
+def test_connected_components_raises_on_unconverged(spark):
+    """Exhausting max_iter before convergence must RAISE — partially
+    propagated labels are a silent wrong answer (two members of one cluster
+    keep different representatives)."""
+    import pytest
+
+    from cdm_data_loader_utils_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
+def test_blocked_cosine_never_broadcasts_packed_vectors(spark):
+    """Scale contract: only the tiny chunk-pair KEY table may broadcast; the
+    packed (id, vector, norm) aggregate — O(N·d) bytes — must stream through
+    shuffled joins, or the operator hits the broadcast/driver ceiling at
+    ~10^7 vectors."""
+    from cdm_data_loader_utils_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+    from cdm_data_loader_utils_spark.plans.inspect import broadcast_subtrees
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cosine_pairs_blocked(e, threshold=0.4, chunk_size=64)
+    subtrees = broadcast_subtrees(out)
+    assert subtrees, "expected the chunk-pair key table to broadcast"
+    for sub in subtrees:
+        assert "Aggregate" not in sub and "collect_list" not in sub, (
+            f"packed vector aggregate under a BroadcastExchange:\n{sub}"
+        )

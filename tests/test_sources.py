@@ -96,3 +96,23 @@ def test_xml_tag_segmentation(spark, tmp_path):
     # local-name matching without a namespace
     out2 = read_xml_records(spark, str(tmp_path) + "/a.xml", tag="entry").collect()
     assert len(out2) == 3
+
+
+def test_xml_nested_record_tag_two_levels_deep(spark, tmp_path):
+    """Record tags nested below intermediate containers parse correctly —
+    the memory-bound path detaches finished records from their OWN parent
+    (root.clear() alone would let a container accumulate every record)."""
+    from cdm_data_loader_utils_spark.sources.records import read_xml_records
+
+    doc = (
+        "<root><meta><info>x</info></meta><batch><group>"
+        + "".join(f'<rec id="{i}"><val>{i * i}</val></rec>' for i in range(50))
+        + "</group></batch></root>"
+    )
+    (tmp_path / "nested.xml").write_text(doc)
+    out = read_xml_records(spark, str(tmp_path / "nested.xml"), tag="rec").collect()
+    ok = [r for r in out if r.error is None]
+    assert len(ok) == 50
+    assert sorted(r.record_idx for r in ok) == list(range(50))
+    by_idx = {r.record_idx: r.xml for r in ok}
+    assert 'id="7"' in by_idx[7] and "<val>49</val>" in by_idx[7]
