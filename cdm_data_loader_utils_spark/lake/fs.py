@@ -13,11 +13,12 @@ implementations:
   the exact FileSystem objects the executors already use. Atomic commit via
   write-tmp-then-``rename``: on HDFS ``rename`` atomically refuses an
   existing destination, which is the same primitive Delta's HDFSLogStore
-  relies on. Object stores without atomic rename-if-absent (plain S3) need an
-  external lock service for multi-writer commits — the identical caveat as
-  Delta/Iceberg on S3 — single-writer pipelines (the reference's deployment
-  shape, ``/root/reference/src/cdm_data_loader_utils/audit/run.py:33-114``
-  runs one loader at a time) are safe as-is.
+  relies on. Object stores without atomic rename-if-absent (plain S3) plug a
+  :class:`FileLockProvider` into ``HadoopFilesystem(lock_provider=…)`` for
+  multi-writer commits (the role S3DynamoDBLogStore plays for Delta);
+  single-writer pipelines (the reference's deployment shape,
+  ``/root/reference/src/cdm_data_loader_utils/audit/run.py:33-114`` runs one
+  loader at a time) are safe with no lock at all.
 
 Everything *data-sized* (parquet rows) always moves through Spark itself —
 this layer never reads or writes table data, only O(files-per-commit) names
@@ -139,20 +140,83 @@ class LocalFilesystem:
         return path
 
 
+class FileLockProvider:
+    """Advisory mutual-exclusion locks over any filesystem with atomic
+    create-exclusive — the pluggable seam that makes MULTI-writer commits
+    safe on stores whose own ``create(overwrite=false)`` is not atomic
+    (plain S3). Delta solves this with S3DynamoDBLogStore and Iceberg with a
+    lock-manager; here any coordination store reachable through an ``fs``
+    object works (a shared POSIX/NFS dir, HDFS, or a custom fs impl backed
+    by a real lock service).
+
+    Locks are (name → lock file) with a TTL: a crashed holder's lock is
+    reclaimed once its mtime is older than ``ttl_seconds``. Reclaim uses the
+    same create-exclusive primitive, so two reclaimers cannot both win."""
+
+    def __init__(self, fs, lock_dir: str, ttl_seconds: float = 300.0):
+        self.fs = fs
+        self.dir = lock_dir
+        self.ttl = ttl_seconds
+        fs.mkdirs(lock_dir)
+
+    def _path(self, name: str) -> str:
+        safe = "".join(c if c.isalnum() or c in "._-" else "_" for c in name)
+        return self.fs.join(self.dir, f"{safe}.lock")
+
+    def acquire(self, name: str, timeout: float = 30.0) -> str:
+        import time as _t
+
+        path = self._path(name)
+        deadline = _t.monotonic() + timeout
+        delay = 0.05
+        while True:
+            try:
+                self.fs.write_text_exclusive(path, json.dumps(
+                    {"holder": uuid.uuid4().hex, "acquired_ms": int(_t.time() * 1000)}
+                ))
+                return path
+            except FileExistsError:
+                try:
+                    age_ms = int(_t.time() * 1000) - self.fs.mtime_ms(path)
+                    if age_ms > self.ttl * 1000:
+                        # stale holder: delete and re-race via create-exclusive
+                        self.fs.delete(path)
+                        continue
+                except FileNotFoundError:
+                    continue  # released between exists and stat — retry now
+                if _t.monotonic() >= deadline:
+                    raise TimeoutError(f"could not acquire lock {name!r} in {timeout}s")
+                _t.sleep(delay)
+                delay = min(delay * 2, 1.0)
+
+    def release(self, token: str) -> None:
+        try:
+            self.fs.delete(token)
+        except FileNotFoundError:  # pragma: no cover - TTL reclaim race
+            pass
+
+
 class HadoopFilesystem:
     """Hadoop FileSystem implementation via Spark's JVM gateway.
 
     Works for every scheme on the cluster's classpath; the driver calls the
     same FileSystem code the executors use, so a table created at
     ``hdfs://nn/warehouse/t`` needs zero repo changes. Only metadata-scale
-    traffic crosses py4j (file names + small JSON manifests)."""
+    traffic crosses py4j (file names + small JSON manifests).
 
-    def __init__(self, spark, base_uri: str):
+    ``lock_provider`` (a :class:`FileLockProvider` or compatible) turns
+    commit exclusivity from create-exclusive into lock + check + write —
+    required for MULTI-writer tables on stores without atomic
+    create-if-absent (plain S3); leave None everywhere else (HDFS/local
+    rename-free create-exclusive is already atomic and lock-free)."""
+
+    def __init__(self, spark, base_uri: str, lock_provider=None):
         jvm = spark._jvm
         self._jvm = jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._conf = spark._jsc.hadoopConfiguration()
         self._fs = self._Path(base_uri).getFileSystem(self._conf)
+        self.lock_provider = lock_provider
 
     def _p(self, path: str):
         return self._Path(path)
@@ -206,9 +270,22 @@ class HadoopFilesystem:
         clobbers. Content is streamed after the claim, so a concurrent
         reader may glimpse a partial file — every manifest/snapshot read
         goes through :func:`read_json_with_retry` for exactly this reason.
-        Object stores without atomic create-if-absent (plain S3) still need
-        an external lock for MULTI-writer commits — the same caveat as
-        Delta/Iceberg on S3."""
+        Object stores without atomic create-if-absent (plain S3) need a
+        ``lock_provider`` for MULTI-writer commits — the same caveat
+        Delta/Iceberg solve with S3DynamoDBLogStore / a lock manager."""
+        if self.lock_provider is not None:
+            token = self.lock_provider.acquire(path)
+            try:
+                if self.exists(path):
+                    raise FileExistsError(path)
+                out = self._fs.create(self._p(path), True)
+                try:
+                    out.write(bytearray(data.encode("utf-8")))
+                finally:
+                    out.close()
+                return
+            finally:
+                self.lock_provider.release(token)
         target = self._p(path)
         try:
             out = self._fs.create(target, False)  # overwrite=false: atomic claim
