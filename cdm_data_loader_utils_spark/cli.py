@@ -68,10 +68,27 @@ def cmd_compact(args) -> None:
 
     spark = get_spark("cdc-compact")
     table = LakeTable.load(spark, args.table)
-    table.compact(purge_tombstones_below_lsn=args.purge_below_lsn)
+    table.compact(
+        purge_tombstones_below_lsn=args.purge_below_lsn,
+        target_files_per_bucket=args.files_per_bucket,
+        sort_by=args.sort_by.split(",") if args.sort_by else None,
+    )
     removed = table.expire_snapshots(keep_last=args.keep_snapshots)
     print(f"compacted; expired {removed} orphan files; "
           f"{len(table.files())} live files")
+
+
+def cmd_sql(args) -> None:
+    """Register every catalog table as a view, then run one SQL statement —
+    the reference's register-table-and-view + ad-hoc query surface."""
+    from .lake.catalog import Catalog
+
+    spark = get_spark("cdc-sql")
+    cat = Catalog(spark, args.warehouse)
+    views = cat.register_views()
+    print(f"registered {len(views)} view(s): {', '.join(sorted(views))}")
+    if args.query:
+        spark.sql(args.query).show(args.max_rows, truncate=False)
 
 
 def cmd_metrics(args) -> None:
@@ -110,7 +127,17 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--table", required=True)
     c.add_argument("--purge-below-lsn", type=int, default=None)
     c.add_argument("--keep-snapshots", type=int, default=3)
+    c.add_argument("--files-per-bucket", type=int, default=1)
+    c.add_argument("--sort-by", default=None,
+                   help="comma-separated columns to cluster files by "
+                        "(ZORDER-style: enables stats-based range pruning)")
     c.set_defaults(fn=cmd_compact)
+
+    q = sub.add_parser("sql")
+    q.add_argument("--warehouse", required=True)
+    q.add_argument("--query", default=None)
+    q.add_argument("--max-rows", type=int, default=50)
+    q.set_defaults(fn=cmd_sql)
 
     m = sub.add_parser("metrics")
     m.add_argument("--warehouse", required=True)
