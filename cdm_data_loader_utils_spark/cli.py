@@ -68,11 +68,18 @@ def cmd_compact(args) -> None:
 
     spark = get_spark("cdc-compact")
     table = LakeTable.load(spark, args.table)
-    table.compact(
-        purge_tombstones_below_lsn=args.purge_below_lsn,
-        target_files_per_bucket=args.files_per_bucket,
-        sort_by=args.sort_by.split(",") if args.sort_by else None,
-    )
+    if args.incremental:
+        table.compact_buckets(
+            min_files=args.min_files,
+            purge_tombstones_below_lsn=args.purge_below_lsn,
+            target_files_per_bucket=args.files_per_bucket,
+        )
+    else:
+        table.compact(
+            purge_tombstones_below_lsn=args.purge_below_lsn,
+            target_files_per_bucket=args.files_per_bucket,
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
+        )
     removed = table.expire_snapshots(keep_last=args.keep_snapshots)
     print(f"compacted; expired {removed} orphan files; "
           f"{len(table.files())} live files")
@@ -131,6 +138,11 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--sort-by", default=None,
                    help="comma-separated columns to cluster files by "
                         "(ZORDER-style: enables stats-based range pruning)")
+    c.add_argument("--incremental", action="store_true",
+                   help="per-bucket small-file compaction (compact_buckets) "
+                        "instead of a full-table rewrite")
+    c.add_argument("--min-files", type=int, default=2,
+                   help="with --incremental: compact buckets holding >= N files")
     c.set_defaults(fn=cmd_compact)
 
     q = sub.add_parser("sql")

@@ -1244,6 +1244,66 @@ class LakeTable:
         )
         return self._commit(nxt)
 
+    def compact_buckets(
+        self,
+        bucket_keys: list[int] | None = None,
+        min_files: int = 2,
+        purge_tombstones_below_lsn: int | None = None,
+        target_files_per_bucket: int = 1,
+    ) -> int:
+        """INCREMENTAL compaction: rewrite only the buckets that need it —
+        the operation a 100 TB table actually runs (a full :meth:`compact`
+        is a whole-table rewrite; Delta's OPTIMIZE equivalently works file-
+        group by file-group, ``core/spark_delta.py:144-150``).
+
+        ``bucket_keys=None`` auto-selects every bucket holding ≥
+        ``min_files`` files (small-file accumulation from merges/appends).
+        Untouched buckets carry forward by manifest REFERENCE, so commit
+        metadata is O(touched buckets). Tombstones below the out-of-order
+        watermark may be purged in the same pass (the predicate is row-local,
+        so purging per-bucket is exactly as safe as globally). Honors the
+        ``write.sort_by`` clustering property like every write.
+
+        Returns the new snapshot id (or the current one if nothing needed
+        compaction)."""
+        snap = self.snapshot()
+        if not snap.get("bucket_by"):
+            raise ValueError("compact_buckets needs a bucketed table; use compact()")
+        manifests = self._require_v2(snap)
+        chosen: dict[str, list[FileEntry]] = {}
+        for key, mname in manifests.items():
+            if key == _NO_BUCKET:
+                continue
+            if bucket_keys is not None and int(key) not in set(bucket_keys):
+                continue
+            entries = self._read_manifest(mname)
+            if bucket_keys is not None or len(entries) >= min_files:
+                chosen[key] = entries
+        if not chosen:
+            return snap["snapshot_id"]
+        affected = [fe for v in chosen.values() for fe in v]
+        rows = self._read_files(snap, affected, with_file_col=False)
+        if purge_tombstones_below_lsn is not None and META_DELETED in rows.columns:
+            rows = rows.filter(
+                ~(F.coalesce(F.col(META_DELETED), F.lit(False))
+                  & (F.col(META_LSN) < F.lit(purge_tombstones_below_lsn)))
+            )
+        new_files = self._write_files(
+            rows, snap, snap["current_schema_id"],
+            n_partitions=max(1, len(chosen) * target_files_per_bucket),
+        )
+        new_manifests = self._replace_entries(
+            snap, {fe.path for fe in affected}, new_files,
+            only_keys=set(chosen),
+        )
+        nxt = self._next_snap(
+            snap, "compact", new_manifests,
+            {"compacted_buckets": sorted(int(k) for k in chosen),
+             "files_before": len(affected), "files_after": len(new_files)},
+            None,
+        )
+        return self._commit(nxt)
+
     def expire_snapshots(self, keep_last: int = 1,
                          grace_seconds: float = 600.0) -> int:
         """Drop old snapshot JSONs and unreferenced data files (reference

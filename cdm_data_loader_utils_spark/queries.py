@@ -211,6 +211,107 @@ FROM documents WHERE n_chars >= 200 GROUP BY lang
 """
 
 
+def _fresh_lake(spark, sf_dir: str, key: str, build):
+    """Build-once cache for mutation-bearing lake gate tables (each query
+    owns its table so UPDATE / evolution / time travel don't interfere)."""
+    cache_key = f"{key}:{sf_dir}"
+    t = _DOCS_LAKE_CACHE.get(cache_key)
+    if t is None:
+        import atexit
+        import shutil
+
+        tmp = tempfile.mkdtemp(prefix=f"lake_{key}_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        t = build(os.path.join(tmp, key))
+        _DOCS_LAKE_CACHE[cache_key] = t
+    return t
+
+
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 time travel, gated directly: two appends (even doc_ids, then
+    odd), read back the FIRST snapshot — must equal the even half even
+    though the current state holds everything."""
+    from .lake.table import LakeTable
+
+    def build(path):
+        docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = LakeTable.create(spark, path, docs.schema,
+                             bucket_by="doc_id", bucket_count=4)
+        t.append(docs.filter(F.col("doc_id") % 2 == 0))
+        t.first_snapshot_id = t.snapshot_id  # pinned for the travel read
+        t.append(docs.filter(F.col("doc_id") % 2 == 1))
+        return t
+
+    t = _fresh_lake(spark, sf_dir, "travel", build)
+    return t.read(snapshot_id=t.first_snapshot_id).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_LAKE_TRAVEL_ORACLE = (
+    "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0"
+)
+
+
+def q_lake_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 targeted copy-on-write UPDATE, gated directly: set lang='xx' where
+    n_chars > 400 (only files containing matches rewrite), read the table."""
+    from .lake.table import LakeTable
+
+    def build(path):
+        docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = LakeTable.create(spark, path, docs.schema,
+                             bucket_by="doc_id", bucket_count=4)
+        t.append(docs)
+        t.update(F.col("n_chars") > 400, {"lang": F.lit("xx")})
+        return t
+
+    t = _fresh_lake(spark, sf_dir, "update", build)
+    return t.read().select("doc_id", "lang", "n_chars")
+
+
+_LAKE_UPDATE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN n_chars > 400 THEN 'xx' ELSE lang END AS lang,
+       n_chars
+FROM documents
+"""
+
+
+def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/P2 schema evolution on append, gated directly: the second append
+    carries a NEW column (n_chars); rows written before the evolution read
+    back with typed nulls."""
+    from .lake.table import LakeTable
+
+    def build(path):
+        docs = load(spark, sf_dir, "documents")
+        narrow = docs.select("doc_id", "lang").filter(F.col("doc_id") % 2 == 0)
+        t = LakeTable.create(spark, path, narrow.schema,
+                             bucket_by="doc_id", bucket_count=4)
+        t.append(narrow)
+        t.append(
+            docs.select("doc_id", "lang", "n_chars")
+            .filter(F.col("doc_id") % 2 == 1)
+        )
+        return t
+
+    t = _fresh_lake(spark, sf_dir, "evolve", build)
+    # typed-null fill proven via a sentinel: nullable BIGINT degrades to
+    # float NaN through pandas in the gate harness, so both sides coalesce
+    return t.read().select(
+        "doc_id", "lang",
+        F.coalesce(F.col("n_chars"), F.lit(-1)).alias("n_chars"),
+    )
+
+
+_LAKE_EVOLVE_ORACLE = """
+SELECT doc_id, lang,
+       coalesce(CASE WHEN doc_id % 2 = 1 THEN n_chars END, -1) AS n_chars
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # snapshot diff family (J1-J4, P6)
 # --------------------------------------------------------------------------
@@ -1364,6 +1465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": q_windowed_event_counts,
         "lake_pruned_read": q_lake_pruned_read,
         "lake_sql_view": q_lake_sql_view,
+        "lake_time_travel": q_lake_time_travel,
+        "lake_update": q_lake_update,
+        "lake_schema_evolution": q_lake_schema_evolution,
         "exact_dedup": q_exact_dedup,
         "jaccard_near_dups": q_jaccard_near_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -1415,6 +1519,9 @@ def oracle_sql() -> dict[str, str]:
         "windowed_event_counts": _WINDOWED_ORACLE,
         "lake_pruned_read": _LAKE_PRUNED_ORACLE,
         "lake_sql_view": _LAKE_VIEW_ORACLE,
+        "lake_time_travel": _LAKE_TRAVEL_ORACLE,
+        "lake_update": _LAKE_UPDATE_ORACLE,
+        "lake_schema_evolution": _LAKE_EVOLVE_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "jaccard_near_dups": _JACCARD_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,

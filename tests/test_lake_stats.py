@@ -369,3 +369,52 @@ def test_lake_table_multi_writer_with_lock_provider(spark, warehouse):
         list(pool.map(write, [1, 2]))
     got = {(r.k, r.v) for r in t.read().collect()}
     assert got == {("w1", 1), ("w2", 2)}
+
+
+def test_compact_buckets_is_incremental(spark, warehouse):
+    """Per-bucket compaction rewrites ONLY buckets with accumulated small
+    files; untouched buckets carry forward by manifest reference."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=4)
+    for i in range(4):
+        t.append(_df(spark, _rows(20, base_day=i + 1)))
+    before = t.snapshot()
+    files_per_bucket = {
+        key: len(t._read_manifest(m)) for key, m in before["manifests"].items()
+    }
+    assert any(n >= 2 for n in files_per_bucket.values())
+    rows_before = {(r.k, r.v, r.ts) for r in t.read().collect()}
+
+    sid = t.compact_buckets(min_files=2)
+    assert sid == t.snapshot_id
+    after = t.snapshot()
+    assert after["operation"] == "compact"
+    # compacted buckets now hold 1 file; any bucket that was already at 1
+    # file keeps its EXACT manifest reference (no rewrite)
+    for key, m in after["manifests"].items():
+        n_before = files_per_bucket.get(key, 0)
+        if n_before >= 2:
+            assert len(t._read_manifest(m)) == 1
+        else:
+            assert m == before["manifests"][key]
+    assert {(r.k, r.v, r.ts) for r in t.read().collect()} == rows_before
+    # idempotent: nothing left to compact -> no new snapshot
+    assert t.compact_buckets(min_files=2) == sid
+
+
+def test_compact_buckets_purges_tombstones(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(10)))
+    src = spark.createDataFrame(
+        [("k0001", None, None, 100, "d"), ("k0002", None, None, 101, "d")],
+        "k string, v int, ts timestamp_ntz, lsn long, op string",
+    )
+    t.merge_cdc(src, key_cols=["k"], lsn_col="lsn", op_col="op")
+    assert t.read().count() == 8
+    meta = t.read(include_meta=True)
+    assert meta.count() == 10  # tombstones physically present
+    t.compact_buckets(bucket_keys=None, min_files=1,
+                      purge_tombstones_below_lsn=1000)
+    assert t.read().count() == 8
+    assert t.read(include_meta=True).count() == 8  # tombstones purged
