@@ -125,6 +125,18 @@ class LocalFilesystem:
     def delete(self, path: str) -> None:
         os.unlink(path)
 
+    def rename_exclusive(self, src: str, dst: str) -> bool:
+        """Atomically claim ``src`` by moving it to a caller-unique ``dst``;
+        False if another claimer won (src already gone). Exactly one of N
+        concurrent claimers succeeds: rename removes src atomically, so every
+        later rename fails ENOENT. (dst is unique per claimer, so POSIX
+        rename's clobber-dst semantics never engage.)"""
+        try:
+            os.rename(src, dst)
+            return True
+        except (FileNotFoundError, NotADirectoryError):
+            return False
+
     def delete_dir(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -163,36 +175,55 @@ class FileLockProvider:
         safe = "".join(c if c.isalnum() or c in "._-" else "_" for c in name)
         return self.fs.join(self.dir, f"{safe}.lock")
 
-    def acquire(self, name: str, timeout: float = 30.0) -> str:
+    def acquire(self, name: str, timeout: float = 30.0) -> dict:
+        """Returns a token carrying (path, holder id). Stale-lock reclaim is
+        ATOMIC: the stale file is claimed by renaming it to a unique
+        tombstone name — exactly one of N waiters wins the rename, so two
+        waiters can never both proceed to create (delete-then-create would
+        let waiter B delete waiter A's FRESH lock after A reclaimed first).
+        Stat/delete failures of any kind (py4j wraps JVM FileNotFound in
+        Py4JJavaError, not Python's FileNotFoundError) are treated as
+        'state changed, re-examine' until the timeout."""
         import time as _t
 
         path = self._path(name)
+        holder = uuid.uuid4().hex
         deadline = _t.monotonic() + timeout
         delay = 0.05
         while True:
             try:
                 self.fs.write_text_exclusive(path, json.dumps(
-                    {"holder": uuid.uuid4().hex, "acquired_ms": int(_t.time() * 1000)}
+                    {"holder": holder, "acquired_ms": int(_t.time() * 1000)}
                 ))
-                return path
+                return {"path": path, "holder": holder}
             except FileExistsError:
                 try:
                     age_ms = int(_t.time() * 1000) - self.fs.mtime_ms(path)
-                    if age_ms > self.ttl * 1000:
-                        # stale holder: delete and re-race via create-exclusive
-                        self.fs.delete(path)
-                        continue
-                except FileNotFoundError:
-                    continue  # released between exists and stat — retry now
+                except Exception:
+                    continue  # released/reclaimed between exists and stat
+                if age_ms > self.ttl * 1000:
+                    tomb = f"{path}.reclaimed.{holder}"
+                    if self.fs.rename_exclusive(path, tomb):
+                        try:
+                            self.fs.delete(tomb)
+                        except Exception:  # pragma: no cover
+                            pass
+                    continue  # re-race the create either way
                 if _t.monotonic() >= deadline:
                     raise TimeoutError(f"could not acquire lock {name!r} in {timeout}s")
                 _t.sleep(delay)
                 delay = min(delay * 2, 1.0)
 
-    def release(self, token: str) -> None:
+    def release(self, token: dict) -> None:
+        """Delete the lock ONLY if this token still holds it — a holder whose
+        critical section outlived the TTL must not delete the reclaiming
+        writer's fresh lock."""
         try:
-            self.fs.delete(token)
-        except FileNotFoundError:  # pragma: no cover - TTL reclaim race
+            doc = json.loads(self.fs.read_text(token["path"]))
+            if doc.get("holder") != token["holder"]:
+                return  # reclaimed by someone else; not ours to delete
+            self.fs.delete(token["path"])
+        except Exception:  # pragma: no cover - already reclaimed/released
             pass
 
 
@@ -306,6 +337,14 @@ class HadoopFilesystem:
 
     def delete(self, path: str) -> None:
         self._fs.delete(self._p(path), False)
+
+    def rename_exclusive(self, src: str, dst: str) -> bool:
+        """Atomic claim-by-rename (Hadoop rename returns false when src is
+        gone or dst exists — exactly one of N claimers wins)."""
+        try:
+            return bool(self._fs.rename(self._p(src), self._p(dst)))
+        except Exception:
+            return False
 
     def delete_dir(self, path: str) -> None:
         self._fs.delete(self._p(path), True)

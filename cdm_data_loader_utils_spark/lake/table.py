@@ -141,22 +141,49 @@ _STATS_STR_PREFIX = 64
 
 
 def _stats_columns(schema: T.StructType, properties: dict | None) -> list[T.StructField]:
+    import warnings
+
     extra = set((properties or {}).get("stats.columns") or [])
     out = []
     for f in schema.fields:
         if isinstance(f.dataType, _STATS_DEFAULT_TYPES) or f.name in extra:
             if isinstance(f.dataType, (T.StringType, *_STATS_DEFAULT_TYPES)):
                 out.append(f)
+            else:
+                # an opt-in the stats layer cannot honor must be LOUD — a
+                # silently ignored stats.columns entry reads as "pruning is
+                # on" while every scan stays full
+                warnings.warn(
+                    f"stats.columns entry {f.name!r} has unsupported type "
+                    f"{f.dataType.simpleString()}; no min/max collected",
+                    stacklevel=3,
+                )
     return out
 
 
+def _stat_bound_expr(f: T.StructField, agg) -> F.Column:
+    """JVM-side, session-timezone-independent encoding of a min/max bound:
+    instants → true epoch micros, wall-clock (NTZ) → fixed-format string
+    (order-isomorphic), dates → epoch days, strings → safe prefix."""
+    c = agg(f.name)
+    if isinstance(f.dataType, T.TimestampType):
+        return F.unix_micros(c)
+    if isinstance(f.dataType, T.TimestampNTZType):
+        # format the NTZ wall clock itself — NO session-tz conversion, so a
+        # reader in any timezone compares in the same space
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    if isinstance(f.dataType, T.DateType):
+        return F.unix_date(c)
+    if isinstance(f.dataType, T.StringType):
+        return F.substring(c, 1, _STATS_STR_PREFIX + 1)
+    return c
+
+
 def _encode_stat(v):
-    """Encode a collected min/max (or a predicate literal) as an
-    order-isomorphic JSON scalar: timestamps → epoch micros (naive treated as
-    UTC — the storage convention for TIMESTAMP_NTZ), dates → ordinal days,
-    numbers/bools/strings as-is. Both the stats writer and the predicate
-    pruner go through THIS function, so comparisons always happen in the
-    same encoded space."""
+    """Fallback encoder for predicate literals on columns whose stats are
+    already JSON scalars (numbers, bools, strings). Temporal columns go
+    through :func:`_encode_pred_value`, which knows the column TYPE —
+    required because instants and wall-clock values encode differently."""
     import datetime
 
     if v is None:
@@ -172,31 +199,81 @@ def _encode_stat(v):
     return v
 
 
-def _file_skippable(stats: dict | None, where: list[tuple]) -> bool:
+def _encode_pred_value(v, dtype: T.DataType | None, session_tz: str | None):
+    """Encode a predicate literal into the SAME space `_stat_bound_expr` used
+    for the column's stats. Returns None when the comparison would be
+    ambiguous (e.g. tz-aware literal vs wall-clock column) — the caller then
+    conservatively refuses to prune and lets the residual filter decide."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(dtype, T.DateType):
+        if isinstance(v, datetime.datetime):
+            v = v.date()
+        if isinstance(v, datetime.date):
+            return (v - datetime.date(1970, 1, 1)).days
+        return None
+    if isinstance(dtype, T.TimestampNTZType):
+        if isinstance(v, datetime.datetime) and v.tzinfo is None:
+            return f"{v:%Y-%m-%d %H:%M:%S}.{v.microsecond:06d}"
+        return None
+    if isinstance(dtype, T.TimestampType):
+        if not isinstance(v, datetime.datetime):
+            return None
+        if v.tzinfo is None:
+            # the residual Spark filter interprets a naive literal in the
+            # SESSION timezone — pruning must agree with it exactly
+            try:
+                from zoneinfo import ZoneInfo
+
+                v = v.replace(tzinfo=ZoneInfo(session_tz or "UTC"))
+            except Exception:
+                return None
+        return int(v.timestamp() * 1_000_000)
+    return _encode_stat(v)
+
+
+def _file_skippable(
+    stats: dict | None,
+    where: list[tuple],
+    types: dict[str, T.DataType] | None = None,
+    session_tz: str | None = None,
+) -> bool:
     """True iff the conjunctive predicate provably matches NO row of a file
-    with these stats. Conservative: missing stats / unknown ops never skip.
-    SQL three-valued logic makes skipping on value ranges safe for these ops
-    (a NULL never satisfies <,<=,>,>=,=,in)."""
+    with these stats. Conservative: missing stats / unknown ops /
+    un-encodable literals never skip. SQL three-valued logic makes skipping
+    on value ranges safe for these ops (a NULL never satisfies
+    <,<=,>,>=,=,in)."""
     if not stats:
         return False
+
+    def enc(col, value):
+        if types is not None and col in types:
+            return _encode_pred_value(value, types[col], session_tz)
+        return _encode_stat(value)
+
     for col, op, value in where:
         b = stats.get(col)
         if b is None:
             continue
         lo, hi = b[0], b[1]  # encoded; None = unbounded
         if op == "in":
-            vals = [_encode_stat(x) for x in value if x is not None]
-            if not vals:
-                return True  # IN () / IN (NULL) matches nothing
+            members = list(value)
+            if not members:
+                return True  # IN () matches nothing
+            vals = [enc(col, x) for x in members]
+            if any(x is None for x in vals):
+                continue  # un-encodable member → cannot prove disjoint
             if all(
                 (lo is not None and x < lo) or (hi is not None and x > hi)
                 for x in vals
             ):
                 return True
             continue
-        v = _encode_stat(value)
+        v = enc(col, value)
         if v is None:
-            continue  # col <op> NULL matches nothing, but filter handles it
+            continue  # NULL / un-encodable literal: the residual filter decides
         if op == "=" and (
             (lo is not None and v < lo) or (hi is not None and v > hi)
         ):
@@ -364,17 +441,23 @@ class LakeTable:
         if as_of_timestamp_ms is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
-            best = None
-            for v in self._versions():
-                s = self._log.read(v)
+            # newest-first with early stop: commit timestamps are monotone
+            # (each snapshot stamps at commit time under a strictly
+            # increasing version), so the FIRST hit walking backwards is the
+            # answer — one JSON read in the common "recent timestamp" case,
+            # never O(versions). A version expired between listing and read
+            # is skipped, not fatal.
+            for v in reversed(self._versions()):
+                try:
+                    s = self._log.read(v)
+                except FileNotFoundError:
+                    continue
                 if s["timestamp_ms"] <= as_of_timestamp_ms:
-                    best = s
-            if best is None:
-                raise FileNotFoundError(
-                    f"no snapshot at or before timestamp {as_of_timestamp_ms} "
-                    f"at {self.path}"
-                )
-            return best
+                    return s
+            raise FileNotFoundError(
+                f"no snapshot at or before timestamp {as_of_timestamp_ms} "
+                f"at {self.path}"
+            )
         v = snapshot_id if snapshot_id is not None else self._latest_version()
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
@@ -498,9 +581,11 @@ class LakeTable:
         """
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms=as_of_timestamp_ms)
         cur = self.schema(snap)
+        types = {f.name: f.dataType for f in cur.fields}
+        tz = self._session_tz()
         groups: dict[int, list[str]] = {}
         for fe in self.files(snap):
-            if where and _file_skippable(fe.stats, where):
+            if where and _file_skippable(fe.stats, where, types, tz):
                 continue
             groups.setdefault(fe.schema_id, []).append(self.fs.join(self.path, fe.path))
         parts: list[DataFrame] = []
@@ -616,13 +701,22 @@ class LakeTable:
     ) -> tuple[list[FileEntry], list[FileEntry]]:
         """(scanned, skipped) file split a ``read(where=...)`` would make —
         the observability hook for stats-based data skipping."""
+        snap = self.snapshot(snapshot_id)
+        types = {f.name: f.dataType for f in self.schema(snap).fields}
+        tz = self._session_tz()
         scanned, skipped = [], []
-        for fe in self.files(self.snapshot(snapshot_id)):
-            if where and _file_skippable(fe.stats, where):
+        for fe in self.files(snap):
+            if where and _file_skippable(fe.stats, where, types, tz):
                 skipped.append(fe)
             else:
                 scanned.append(fe)
         return scanned, skipped
+
+    def _session_tz(self) -> str | None:
+        try:
+            return self.spark.conf.get("spark.sql.session.timeZone")
+        except Exception:  # pragma: no cover
+            return None
 
     def is_fenced(self, fence_key: str) -> int | None:
         """Snapshot id that already applied ``fence_key``, else None.
@@ -712,18 +806,10 @@ class LakeTable:
         stat_fields = _stats_columns(df.schema, props)
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for f in stat_fields:
-            if isinstance(f.dataType, T.StringType):
-                aggs.append(
-                    F.substring(F.min(f.name), 1, _STATS_STR_PREFIX + 1)
-                    .alias(f"__mn__{f.name}")
-                )
-                aggs.append(
-                    F.substring(F.max(f.name), 1, _STATS_STR_PREFIX + 1)
-                    .alias(f"__mx__{f.name}")
-                )
-            else:
-                aggs.append(F.min(f.name).alias(f"__mn__{f.name}"))
-                aggs.append(F.max(f.name).alias(f"__mx__{f.name}"))
+            # bounds are encoded JVM-side (`_stat_bound_expr`) so temporal
+            # stats never depend on the writer session's timezone
+            aggs.append(_stat_bound_expr(f, F.min).alias(f"__mn__{f.name}"))
+            aggs.append(_stat_bound_expr(f, F.max).alias(f"__mx__{f.name}"))
         counts = (
             self.spark.read.schema(df.schema)
             .parquet(*[self.fs.spark_path(p) for p in files])
@@ -746,7 +832,7 @@ class LakeTable:
                         mn = mn[:_STATS_STR_PREFIX]
                     if mx is not None and len(mx) > _STATS_STR_PREFIX:
                         mx = None
-                stats[f.name] = [_encode_stat(mn), _encode_stat(mx)]
+                stats[f.name] = [mn, mx]  # already encoded JVM-side
             entries.append(
                 FileEntry(rel, _bucket_from_rel(rel), schema_id,
                           int(r["__rows"]), stats or None)
@@ -1215,6 +1301,15 @@ class LakeTable:
         the reference gets from Delta OPTIMIZE."""
         snap = self.snapshot()
         if sort_by is not None:
+            # a typo'd column here would silently produce an unclustered
+            # full-table rewrite AND persist a property claiming otherwise
+            known = {f.name for f in self.schema(snap).fields}
+            unknown = [c for c in sort_by if c not in known]
+            if unknown:
+                raise ValueError(
+                    f"sort_by column(s) {unknown} not in table schema "
+                    f"{sorted(known)}"
+                )
             snap = dict(snap)
             props = dict(snap.get("properties") or {})
             props["write.sort_by"] = list(sort_by)
@@ -1316,24 +1411,31 @@ class LakeTable:
         """
         versions = self._versions()
         keep = set(versions[-keep_last:])
-        live: set[str] = set()
-        live_manifests: set[str] = set()
-        for v in keep:
-            snap = self.snapshot(v)
-            live_manifests |= set(snap.get("manifests", {}).values())
-            live |= {fe.path for fe in self.files(snap)}
         removed = 0
         cutoff_ms = (time.time() - grace_seconds) * 1000
+        # Decide which snapshot JSONs go FIRST: everything not kept and past
+        # grace (a concurrent reader that just listed versions, or is
+        # time-traveling an older snapshot, must not hit FileNotFoundError
+        # mid-read). Every snapshot that REMAINS listed — kept or
+        # grace-retained — then pins its files and manifests live, so a
+        # readable snapshot can never lose data underneath it; retained-old
+        # snapshots' files age out together with their JSON on a later pass.
+        doomed: set[int] = set()
         for v in versions:
             if v in keep:
                 continue
-            # snapshot JSONs get the same grace as data files: a concurrent
-            # reader that just listed versions (or is time-traveling an older
-            # snapshot) must not hit FileNotFoundError mid-read
-            p = self._log_path(v)
-            if self.fs.mtime_ms(p) > cutoff_ms:
+            if self.fs.mtime_ms(self._log_path(v)) <= cutoff_ms:
+                doomed.add(v)
+        live: set[str] = set()
+        live_manifests: set[str] = set()
+        for v in versions:
+            if v in doomed:
                 continue
-            self.fs.delete(p)
+            snap = self.snapshot(v)
+            live_manifests |= set(snap.get("manifests", {}).values())
+            live |= {fe.path for fe in self.files(snap)}
+        for v in doomed:
+            self.fs.delete(self._log_path(v))
         data_root = self.fs.join(self.path, _DATA_DIR)
         for p in self.fs.walk_files(data_root):
             rel = self._uri_to_rel(p)

@@ -197,20 +197,13 @@ def cosine_pairs_blocked(
             )
         )
 
-    def _seq_dot(x, y) -> float:
-        # sequential left-to-right float64 fold — bit-identical to the JVM
-        # `aggregate(zip_with(...), 0.0, acc + v)` expression and DuckDB's
-        # list_dot_product loop; numpy matmul's pairwise/SIMD accumulation
-        # may differ in the last ulp, so it is only ever a PREFILTER
-        s = 0.0
-        for xv, yv in zip(x, y):
-            s += xv * yv
-        return s
-
-    # candidate guard band: anything the matmul scores within this margin of
-    # the threshold is rescored exactly; 1e-9 ≫ the worst-case accumulation-
-    # order error for unit-scale 64-dim float64 dots (~1e-13)
-    guard = 1e-9
+    # candidate guard band on the UNROUNDED matmul score: it must cover the
+    # full 6dp rounding quantum (1e-6) — a pair whose exact HALF_UP-rounded
+    # score lands on the threshold can sit up to half a quantum BELOW it
+    # unrounded, and numpy's binary rounding may bin it differently — plus
+    # the ~1e-13 accumulation-order error. Everything inside the band is
+    # decided by the exact sequential rescore below.
+    guard = 1.1e-6
 
     def _matmul(batches):
         for pdf in batches:
@@ -229,29 +222,33 @@ def cosine_pairs_blocked(
                 if same:
                     # keep strictly-upper triangle (id_a < id_b)
                     sims = np.where(ia[:, None] < ib[None, :], sims, -2.0)
-                ii, jj = np.where(np.round(sims, 6) >= threshold - guard)
+                ii, jj = np.where(sims >= threshold - guard)
                 if len(ii) == 0:
                     continue
-                # exact sequential rescoring of the (few) candidates decides
-                # inclusion AND the emitted score
-                keep_a, keep_b, keep_s = [], [], []
-                for i, j in zip(ii, jj):
-                    cos = _round6(_seq_dot(va[i], vb[j]) / (na[i] * nb[j]))
-                    if cos >= threshold:
-                        a_id, b_id = int(ia[i]), int(ib[j])
-                        if a_id > b_id:
-                            a_id, b_id = b_id, a_id
-                        keep_a.append(a_id)
-                        keep_b.append(b_id)
-                        keep_s.append(cos)
-                if not keep_a:
+                # exact rescoring of the candidates decides inclusion AND the
+                # emitted score: np.add.accumulate performs the identical
+                # strictly-sequential left-to-right float64 fold as the JVM
+                # `aggregate(..., acc + v)` and DuckDB's loop — in C, not an
+                # interpreter loop — so this stays vectorized even when every
+                # pair is above threshold
+                prods = va[ii] * vb[jj]
+                seq_dots = np.add.accumulate(prods, axis=1)[:, -1]
+                exact = seq_dots / (na[ii] * nb[jj])
+                scores = np.fromiter(
+                    (_round6(v) for v in exact), dtype=np.float64, count=len(exact)
+                )
+                keep = scores >= threshold
+                if not keep.any():
                     continue
+                xa, xb = ia[ii[keep]], ib[jj[keep]]
+                swap = xa > xb
+                xa, xb = np.where(swap, xb, xa), np.where(swap, xa, xb)
                 outs.append(
                     pd.DataFrame(
                         {
-                            "id_a": pd.Series(keep_a, dtype="int64"),
-                            "id_b": pd.Series(keep_b, dtype="int64"),
-                            "cosine": pd.Series(keep_s, dtype="float64"),
+                            "id_a": pd.Series(xa, dtype="int64"),
+                            "id_b": pd.Series(xb, dtype="int64"),
+                            "cosine": pd.Series(scores[keep], dtype="float64"),
                         }
                     )
                 )

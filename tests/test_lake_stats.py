@@ -21,6 +21,7 @@ from cdm_data_loader_utils_spark.lake.catalog import Catalog
 from cdm_data_loader_utils_spark.lake.fs import _is_already_exists
 from cdm_data_loader_utils_spark.lake.table import (
     LakeTable,
+    _encode_pred_value,
     _encode_stat,
     _file_skippable,
 )
@@ -133,8 +134,9 @@ def test_read_where_prunes_files_and_filters_rows(spark, warehouse):
     cutoff = datetime.datetime(2026, 1, 5)
     scanned, skipped = t.plan_files(where=[("ts", ">=", cutoff)])
     assert skipped, "stats-based skipping eliminated no files"
-    # every skipped file's max ts is provably below the cutoff
-    enc = _encode_stat(cutoff)
+    # every skipped file's max ts is provably below the cutoff (NTZ bounds
+    # are fixed-format wall-clock strings — session-timezone independent)
+    enc = _encode_pred_value(cutoff, T.TimestampNTZType(), "UTC")
     for fe in skipped:
         assert fe.stats["ts"][1] is not None and fe.stats["ts"][1] < enc
     got = t.read(where=[("ts", ">=", cutoff)])
@@ -338,11 +340,15 @@ def test_file_lock_provider_ttl_reclaims_stale_lock(warehouse):
     lock = FileLockProvider(lfs, os.path.join(warehouse, "_locks"),
                             ttl_seconds=0.2)
     t1 = lock.acquire("snap-v5")
-    assert os.path.exists(t1)
+    assert os.path.exists(t1["path"])
     time.sleep(0.3)  # holder "crashed"; lock is past TTL
     t2 = lock.acquire("snap-v5", timeout=5.0)
-    assert os.path.exists(t2)
+    assert os.path.exists(t2["path"])
+    # the outlived original holder must NOT delete the reclaimer's lock
+    lock.release(t1)
+    assert os.path.exists(t2["path"])
     lock.release(t2)
+    assert not os.path.exists(t2["path"])
 
 
 def test_lake_table_multi_writer_with_lock_provider(spark, warehouse):
@@ -418,3 +424,77 @@ def test_compact_buckets_purges_tombstones(spark, warehouse):
                       purge_tombstones_below_lsn=1000)
     assert t.read().count() == 8
     assert t.read(include_meta=True).count() == 8  # tombstones purged
+
+
+def test_expire_grace_retained_snapshots_keep_their_files(spark, warehouse):
+    """A snapshot JSON retained by the grace period must keep its data files
+    readable: the live set includes every snapshot that stays LISTED, not
+    just keep_last (otherwise a listed, in-grace old snapshot loses its
+    files mid-read)."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, _rows(4)))
+    v2 = t.snapshot_id
+    t.overwrite(_df(spark, _rows(2, base_day=9)))
+    # age the DATA files past any grace, but leave snapshot JSONs fresh
+    old = time.time() - 7200
+    for root, _dirs, files in os.walk(os.path.join(warehouse, "t", "data")):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (old, old))
+    for fn in os.listdir(os.path.join(warehouse, "t", "_log", "manifests")):
+        os.utime(os.path.join(warehouse, "t", "_log", "manifests", fn), (old, old))
+    t.expire_snapshots(keep_last=1, grace_seconds=600)
+    # v2's JSON is within grace → still listed → its files must survive
+    assert v2 in [s["snapshot_id"] for s in t.history()]
+    assert t.read(snapshot_id=v2).count() == 4
+    # once the JSONs are also past grace, everything is reclaimed
+    for fn in os.listdir(os.path.join(warehouse, "t", "_log")):
+        p = os.path.join(warehouse, "t", "_log", fn)
+        if os.path.isfile(p):
+            os.utime(p, (old, old))
+    t.expire_snapshots(keep_last=1, grace_seconds=600)
+    assert [s["snapshot_id"] for s in t.history()] == [t.snapshot_id]
+    assert t.read().count() == 2
+
+
+def test_compact_sort_by_unknown_column_raises(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(5)))
+    with pytest.raises(ValueError, match="sort_by"):
+        t.compact(sort_by=["tss"])  # typo for ts
+    assert "write.sort_by" not in t.snapshot()["properties"]
+
+
+def test_stats_columns_unsupported_type_warns(spark, warehouse):
+    import warnings as _w
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("arr", T.ArrayType(T.IntegerType())),
+    ])
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), schema,
+                         properties={"stats.columns": ["arr"]})
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        t.append(spark.createDataFrame([("a", [1, 2])], schema).coalesce(1))
+    assert any("arr" in str(w.message) for w in caught)
+
+
+def test_encode_pred_value_timezone_semantics():
+    import datetime as dt
+
+    utc = dt.timezone.utc
+    # instant column: aware literal → true epoch; naive literal → session tz
+    aware = dt.datetime(2026, 1, 1, 3, 0, tzinfo=utc)
+    assert _encode_pred_value(aware, T.TimestampType(), "America/New_York") \
+        == int(aware.timestamp() * 1_000_000)
+    naive = dt.datetime(2026, 1, 1, 3, 0)
+    enc_ny = _encode_pred_value(naive, T.TimestampType(), "America/New_York")
+    enc_utc = _encode_pred_value(naive, T.TimestampType(), "UTC")
+    assert enc_ny - enc_utc == 5 * 3600 * 1_000_000  # EST = UTC-5 in January
+    # wall-clock column: aware literal is ambiguous → refuse to prune
+    assert _encode_pred_value(aware, T.TimestampNTZType(), "UTC") is None
+    assert _encode_pred_value(naive, T.TimestampNTZType(), "UTC") \
+        == "2026-01-01 03:00:00.000000"
+    assert _encode_pred_value(dt.date(2026, 1, 2), T.DateType(), None) \
+        == (dt.date(2026, 1, 2) - dt.date(1970, 1, 1)).days
