@@ -199,11 +199,31 @@ class FileLockProvider:
             except FileExistsError:
                 try:
                     age_ms = int(_t.time() * 1000) - self.fs.mtime_ms(path)
+                    stale_holder = json.loads(self.fs.read_text(path)).get("holder")
                 except Exception:
                     continue  # released/reclaimed between exists and stat
                 if age_ms > self.ttl * 1000:
+                    # Atomic reclaim: claim the stale file by renaming it to
+                    # a waiter-unique tombstone (one winner), then VERIFY the
+                    # tombed content is the stale holder observed above — if
+                    # the lock was reclaimed-and-recreated by someone else in
+                    # our window, we renamed a FRESH lock and must put it
+                    # back (create-exclusive restore; if a third waiter
+                    # created meanwhile, that microsecond window is the
+                    # documented residual — a CAS-backed lock provider, e.g.
+                    # DynamoDB conditional put, closes it for stores that
+                    # need absolute multi-writer safety).
                     tomb = f"{path}.reclaimed.{holder}"
                     if self.fs.rename_exclusive(path, tomb):
+                        try:
+                            tdoc = json.loads(self.fs.read_text(tomb))
+                        except Exception:  # pragma: no cover
+                            tdoc = None
+                        if tdoc is not None and tdoc.get("holder") != stale_holder:
+                            try:
+                                self.fs.write_text_exclusive(path, json.dumps(tdoc))
+                            except FileExistsError:  # pragma: no cover
+                                pass
                         try:
                             self.fs.delete(tomb)
                         except Exception:  # pragma: no cover
