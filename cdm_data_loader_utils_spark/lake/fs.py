@@ -197,29 +197,36 @@ class FileLockProvider:
                 ))
                 return {"path": path, "holder": holder}
             except FileExistsError:
+                now_ms = int(_t.time() * 1000)
                 try:
-                    age_ms = int(_t.time() * 1000) - self.fs.mtime_ms(path)
-                    stale_holder = json.loads(self.fs.read_text(path)).get("holder")
+                    age_ms = now_ms - self.fs.mtime_ms(path)
                 except Exception:
-                    continue  # released/reclaimed between exists and stat
-                if age_ms > self.ttl * 1000:
+                    age_ms = None  # released/reclaimed between exists & stat
+                if age_ms is not None and age_ms > self.ttl * 1000:
                     # Atomic reclaim: claim the stale file by renaming it to
                     # a waiter-unique tombstone (one winner), then VERIFY the
-                    # tombed content is the stale holder observed above — if
-                    # the lock was reclaimed-and-recreated by someone else in
-                    # our window, we renamed a FRESH lock and must put it
-                    # back (create-exclusive restore; if a third waiter
-                    # created meanwhile, that microsecond window is the
-                    # documented residual — a CAS-backed lock provider, e.g.
-                    # DynamoDB conditional put, closes it for stores that
-                    # need absolute multi-writer safety).
+                    # tombed content really is stale — if the lock was
+                    # reclaimed-and-recreated by someone else in our window,
+                    # we renamed a FRESH lock and must put it back
+                    # (create-exclusive restore). Remaining residual windows
+                    # (a third waiter creating mid-restore; a fresh holder
+                    # releasing while tombed, leaving a restored ownerless
+                    # lock for one TTL) are documented; a CAS-backed lock
+                    # provider (e.g. DynamoDB conditional put) closes them
+                    # for stores that need absolute multi-writer safety.
                     tomb = f"{path}.reclaimed.{holder}"
                     if self.fs.rename_exclusive(path, tomb):
+                        tdoc = None
                         try:
                             tdoc = json.loads(self.fs.read_text(tomb))
-                        except Exception:  # pragma: no cover
-                            tdoc = None
-                        if tdoc is not None and tdoc.get("holder") != stale_holder:
+                        except Exception:  # corrupt/partial lock → reclaim
+                            pass
+                        fresh = (
+                            tdoc is not None
+                            and now_ms - int(tdoc.get("acquired_ms", 0))
+                            <= self.ttl * 1000
+                        )
+                        if fresh:
                             try:
                                 self.fs.write_text_exclusive(path, json.dumps(tdoc))
                             except FileExistsError:  # pragma: no cover
@@ -228,7 +235,10 @@ class FileLockProvider:
                             self.fs.delete(tomb)
                         except Exception:  # pragma: no cover
                             pass
-                    continue  # re-race the create either way
+                # ONE exit/backoff point: every failed iteration — fresh
+                # lock, vanished lock, stat error, corrupt lock, lost
+                # reclaim race — checks the deadline and sleeps, so no
+                # state can turn acquire() into an untimeouted busy-loop
                 if _t.monotonic() >= deadline:
                     raise TimeoutError(f"could not acquire lock {name!r} in {timeout}s")
                 _t.sleep(delay)

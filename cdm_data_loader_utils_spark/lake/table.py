@@ -189,11 +189,14 @@ def _encode_stat(v):
     if v is None:
         return None
     if isinstance(v, datetime.datetime):
+        # exact integer arithmetic — float .timestamp()*1e6 is off by ±1µs
+        # for ~1.3% of pre-1970/far-future microsecond values, which would
+        # make a boundary file-skip unsound
         if v.tzinfo is None:
-            return int(
-                (v - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
-            )
-        return int(v.timestamp() * 1_000_000)
+            epoch = datetime.datetime(1970, 1, 1)
+        else:
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        return (v - epoch) // datetime.timedelta(microseconds=1)
     if isinstance(v, datetime.date):
         return v.toordinal()
     return v
@@ -230,7 +233,9 @@ def _encode_pred_value(v, dtype: T.DataType | None, session_tz: str | None):
                 v = v.replace(tzinfo=ZoneInfo(session_tz or "UTC"))
             except Exception:
                 return None
-        return int(v.timestamp() * 1_000_000)
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        # exact integer micros (float .timestamp() is ±1µs off pre-1970)
+        return (v - epoch) // datetime.timedelta(microseconds=1)
     return _encode_stat(v)
 
 
@@ -258,34 +263,39 @@ def _file_skippable(
         if b is None:
             continue
         lo, hi = b[0], b[1]  # encoded; None = unbounded
-        if op == "in":
-            members = list(value)
-            if not members:
-                return True  # IN () matches nothing
-            vals = [enc(col, x) for x in members]
-            if any(x is None for x in vals):
-                continue  # un-encodable member → cannot prove disjoint
-            if all(
-                (lo is not None and x < lo) or (hi is not None and x > hi)
-                for x in vals
+        # a cross-type literal (e.g. "5" against int stats) must fall back
+        # to the residual filter (which casts), never crash the read
+        try:
+            if op == "in":
+                members = list(value)
+                if not members:
+                    return True  # IN () matches nothing
+                vals = [enc(col, x) for x in members]
+                if any(x is None for x in vals):
+                    continue  # un-encodable member → cannot prove disjoint
+                if all(
+                    (lo is not None and x < lo) or (hi is not None and x > hi)
+                    for x in vals
+                ):
+                    return True
+                continue
+            v = enc(col, value)
+            if v is None:
+                continue  # NULL / un-encodable literal: residual filter decides
+            if op == "=" and (
+                (lo is not None and v < lo) or (hi is not None and v > hi)
             ):
                 return True
-            continue
-        v = enc(col, value)
-        if v is None:
-            continue  # NULL / un-encodable literal: the residual filter decides
-        if op == "=" and (
-            (lo is not None and v < lo) or (hi is not None and v > hi)
-        ):
-            return True
-        if op == "<" and lo is not None and lo >= v:
-            return True
-        if op == "<=" and lo is not None and lo > v:
-            return True
-        if op == ">" and hi is not None and hi <= v:
-            return True
-        if op == ">=" and hi is not None and hi < v:
-            return True
+            if op == "<" and lo is not None and lo >= v:
+                return True
+            if op == "<=" and lo is not None and lo > v:
+                return True
+            if op == ">" and hi is not None and hi <= v:
+                return True
+            if op == ">=" and hi is not None and hi < v:
+                return True
+        except TypeError:
+            continue  # incomparable encodings: conservative keep
     return False
 
 
@@ -382,7 +392,12 @@ class LakeTable:
             "summary": {},
             "properties": properties or {},
         }
-        t._commit(snap)
+        try:
+            t._commit(snap)
+        except CommitConflictError as e:
+            # two writers raced the FIRST commit: surface the same error the
+            # pre-check gives, so callers (write_table) can load-and-continue
+            raise FileExistsError(f"table already exists at {path}") from e
         return t
 
     @classmethod
@@ -450,7 +465,10 @@ class LakeTable:
             for v in reversed(self._versions()):
                 try:
                     s = self._log.read(v)
-                except FileNotFoundError:
+                except Exception:
+                    # expired between list and read — on Hadoop stores this
+                    # surfaces as a py4j-wrapped JVM exception, not Python's
+                    # FileNotFoundError; either way skip to the next older
                     continue
                 if s["timestamp_ms"] <= as_of_timestamp_ms:
                     return s
@@ -861,6 +879,20 @@ class LakeTable:
         }
         if fence_key is not None:
             snap["fences"][fence_key] = snap["snapshot_id"]
+        # Bound fence history: an unbounded map copied into every snapshot
+        # turns commit metadata O(#fenced commits) and the log O(n²) over a
+        # long-running stream. Evict the OLDEST entries (smallest applying
+        # snapshot id) past the horizon — the same semantics as Delta's
+        # txnAppId retention: a batch re-delivered from further back than
+        # `fence.max_entries` commits is no longer deduplicated (streaming
+        # checkpoints re-deliver only the most recent batches, so the
+        # default horizon of 10k commits is far beyond any real redelivery).
+        max_fences = int(
+            (snap["properties"] or {}).get("fence.max_entries", 10_000)
+        )
+        if len(snap["fences"]) > max_fences:
+            pruned = sorted(snap["fences"].items(), key=lambda kv: int(kv[1]))
+            snap["fences"] = dict(pruned[-max_fences:])
         return snap
 
     def _replace_entries(
@@ -1064,8 +1096,14 @@ class LakeTable:
         touched_buckets_count: int | None = None,
         incoming_rows: int | None = None,
         dense_probe_ratio: float = 0.02,
+        exclude_cols: tuple = ("batch_id",),
     ) -> int:
         """CDC MERGE: last-writer-wins upsert/delete, copy-on-write.
+
+        ``exclude_cols`` names source columns that are micro-batch transport
+        metadata, NOT payload (default: ``batch_id``, the replay framing
+        column). A source whose BUSINESS schema legitimately contains a
+        column with one of these names should pass ``exclude_cols=()``.
 
         A ``touched_buckets`` hint is only honored together with
         ``touched_buckets_count`` — the bucket_count the caller computed it
@@ -1098,7 +1136,7 @@ class LakeTable:
             lambda: self._merge_once(
                 source, key_cols, lsn_col, op_col, summary, fence_key,
                 touched_buckets, touched_buckets_count,
-                incoming_rows, dense_probe_ratio,
+                incoming_rows, dense_probe_ratio, exclude_cols,
             )
         )
 
@@ -1114,6 +1152,7 @@ class LakeTable:
         touched_buckets_count: int | None,
         incoming_rows: int | None,
         dense_probe_ratio: float,
+        exclude_cols: tuple,
     ) -> int:
         snap = self.snapshot()
         fenced = self._fence_hit(snap, fence_key)
@@ -1125,7 +1164,7 @@ class LakeTable:
         # 1. schema evolution from the incoming batch (Arrow-reconciled)
         src_payload_schema = T.StructType(
             [f for f in source.schema.fields
-             if f.name not in (op_col, lsn_col, "batch_id")]
+             if f.name not in (op_col, lsn_col, *exclude_cols)]
         )
         new_user_schema, changed = reconcile_schemas(
             T.StructType(user_fields), src_payload_schema
@@ -1404,10 +1443,13 @@ class LakeTable:
         """Drop old snapshot JSONs and unreferenced data files (reference
         VACUUM analogue, ``core/spark_delta.py:152-157``).
 
-        Safe to run concurrently with writers: files younger than
-        ``grace_seconds`` are never deleted (Iceberg's older-than rule) —
-        an in-flight commit's freshly written, not-yet-referenced files
-        survive; nor is anything under a legacy ``_staging_`` directory.
+        Safe to run concurrently with writers AND with another expire run:
+        files younger than ``grace_seconds`` are never deleted (Iceberg's
+        older-than rule) — an in-flight commit's freshly written,
+        not-yet-referenced files survive; nor is anything under a legacy
+        ``_staging_`` directory. A file a concurrent expire already removed
+        is skipped, not fatal (best-effort GC; the next run reclaims
+        whatever this one missed).
         """
         versions = self._versions()
         keep = set(versions[-keep_last:])
@@ -1424,18 +1466,34 @@ class LakeTable:
         for v in versions:
             if v in keep:
                 continue
-            if self.fs.mtime_ms(self._log_path(v)) <= cutoff_ms:
-                doomed.add(v)
+            try:
+                if self.fs.mtime_ms(self._log_path(v)) <= cutoff_ms:
+                    doomed.add(v)
+            except Exception:
+                # a concurrent expire removed it between list and stat: it
+                # needs no deletion and pins nothing; anything else (real IO
+                # failure) must not silently mark a fresh snapshot doomed
+                if self.fs.exists(self._log_path(v)):
+                    raise
+                doomed.add(v)  # gone already; exclude from the live scan
         live: set[str] = set()
         live_manifests: set[str] = set()
         for v in versions:
             if v in doomed:
                 continue
-            snap = self.snapshot(v)
+            try:
+                snap = self.snapshot(v)
+            except Exception:
+                if self.fs.exists(self._log_path(v)):
+                    raise  # exists but unreadable: do NOT guess liveness
+                continue  # deleted by a concurrent run after our stat
             live_manifests |= set(snap.get("manifests", {}).values())
             live |= {fe.path for fe in self.files(snap)}
         for v in doomed:
-            self.fs.delete(self._log_path(v))
+            try:
+                self.fs.delete(self._log_path(v))
+            except Exception:
+                pass  # already removed by the concurrent run
         data_root = self.fs.join(self.path, _DATA_DIR)
         for p in self.fs.walk_files(data_root):
             rel = self._uri_to_rel(p)
@@ -1443,9 +1501,12 @@ class LakeTable:
                 continue
             if any(comp.startswith("_staging_") for comp in rel.split("/")):
                 continue
-            if self.fs.mtime_ms(p) > cutoff_ms:
-                continue
-            self.fs.delete(p)
+            try:
+                if self.fs.mtime_ms(p) > cutoff_ms:
+                    continue
+                self.fs.delete(p)
+            except Exception:
+                continue  # raced with a concurrent expire
             removed += 1
         # orphaned manifests (superseded per-bucket file lists)
         mdir = self.fs.join(self.path, _MANIFEST_DIR)
@@ -1453,9 +1514,12 @@ class LakeTable:
             if name in live_manifests or not name.startswith("m-"):
                 continue
             p = self.fs.join(mdir, name)
-            if self.fs.mtime_ms(p) > cutoff_ms:
-                continue
-            self.fs.delete(p)
+            try:
+                if self.fs.mtime_ms(p) > cutoff_ms:
+                    continue
+                self.fs.delete(p)
+            except Exception:
+                continue  # raced with a concurrent expire
             removed += 1
         return removed
 
@@ -1488,9 +1552,20 @@ def write_table(
     if exists:
         t = LakeTable.load(spark, path)
     else:
-        t = LakeTable.create(
-            spark, path, df.schema, bucket_by=bucket_by, bucket_count=bucket_count
-        )
+        try:
+            t = LakeTable.create(
+                spark, path, df.schema, bucket_by=bucket_by, bucket_count=bucket_count
+            )
+        except FileExistsError:
+            # a concurrent writer won the create race between our exists
+            # check and the first commit — load theirs and proceed (append)
+            # or honor the mode (error/ignore were handled above with the
+            # same outcome a later arrival would see)
+            if mode in ("error", "errorifexists"):
+                raise
+            t = LakeTable.load(spark, path)
+            if mode == "ignore":
+                return t
     if skip_empty and df.isEmpty():
         warnings.warn(f"empty DataFrame: skipping write to {path}", stacklevel=2)
         return t

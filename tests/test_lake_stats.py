@@ -498,3 +498,160 @@ def test_encode_pred_value_timezone_semantics():
         == "2026-01-01 03:00:00.000000"
     assert _encode_pred_value(dt.date(2026, 1, 2), T.DateType(), None) \
         == (dt.date(2026, 1, 2) - dt.date(1970, 1, 1)).days
+
+
+def test_file_skippable_never_skips_a_matching_row_property():
+    """Soundness property (hypothesis): if the pruner says SKIP, no row in
+    the file can satisfy the conjunctive predicate. Completeness is not
+    required (conservative keeps are fine); skipping a matching row is the
+    one unforgivable failure mode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ops = st.sampled_from(["=", "!=", "<", "<=", ">", ">=", "in"])
+    values = st.integers(min_value=-50, max_value=50)
+
+    def satisfies(col_val, op, v):
+        if col_val is None:
+            return False  # SQL three-valued logic: NULL never matches these ops
+        if op == "=":
+            return col_val == v
+        if op == "!=":
+            return col_val != v
+        if op == "<":
+            return col_val < v
+        if op == "<=":
+            return col_val <= v
+        if op == ">":
+            return col_val > v
+        if op == ">=":
+            return col_val >= v
+        return col_val in v
+
+    @given(
+        rows=st.lists(st.one_of(st.none(), values), min_size=1, max_size=8),
+        preds=st.lists(
+            st.tuples(
+                ops,
+                st.one_of(values, st.lists(values, max_size=4)),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+    )
+    @settings(max_examples=400, deadline=None)
+    def check(rows, preds):
+        where = []
+        for op, v in preds:
+            if op == "in" and not isinstance(v, list):
+                v = [v]
+            if op != "in" and isinstance(v, list):
+                op = "in"
+            where.append(("c", op, v))
+        present = [r for r in rows if r is not None]
+        stats = {"c": [min(present), max(present)]} if present else {}
+        if _file_skippable(stats or None, where):
+            for r in rows:
+                assert not all(
+                    satisfies(r, op, v) for _c, op, v in where
+                ), (rows, where)
+
+    check()
+
+
+def test_corrupt_lock_file_times_out_and_reclaims(warehouse):
+    """A corrupt/partially-written lock must neither hang acquire() nor
+    block it forever: within TTL it times out cleanly; past TTL it is
+    reclaimed like any stale lock."""
+    from cdm_data_loader_utils_spark.lake.fs import FileLockProvider, LocalFilesystem
+
+    lfs = LocalFilesystem()
+    lock = FileLockProvider(lfs, os.path.join(warehouse, "_locks"),
+                            ttl_seconds=60.0)
+    path = lock._path("t")
+    with open(path, "w") as f:
+        f.write("{not json")  # crashed holder, partial write
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        lock.acquire("t", timeout=0.5)
+    assert time.monotonic() - t0 < 5.0  # bounded, no busy-hang
+    # past TTL the corrupt lock is reclaimable
+    lock2 = FileLockProvider(lfs, os.path.join(warehouse, "_locks"),
+                             ttl_seconds=0.05)
+    time.sleep(0.1)
+    tok = lock2.acquire("t", timeout=5.0)
+    lock2.release(tok)
+
+
+def test_encode_pred_value_pre_1970_is_exact():
+    import datetime as dt
+
+    utc = dt.timezone.utc
+    epoch = dt.datetime(1970, 1, 1, tzinfo=utc)
+    for v in [
+        dt.datetime(1955, 3, 1, 12, 0, 0, 123457, tzinfo=utc),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999, tzinfo=utc),
+        dt.datetime(2250, 6, 1, 0, 0, 0, 1, tzinfo=utc),
+    ]:
+        exact = (v - epoch) // dt.timedelta(microseconds=1)
+        assert _encode_pred_value(v, T.TimestampType(), "UTC") == exact
+
+
+def test_file_skippable_cross_type_literal_keeps_not_crashes():
+    stats = {"v": [10, 20]}
+    # string literal against int stats: residual filter handles the cast;
+    # the pruner must conservatively keep, never raise
+    assert not _file_skippable(stats, [("v", "=", "5")])
+    assert not _file_skippable(stats, [("v", "<", "x")])
+    assert not _file_skippable(stats, [("v", "in", ["5", 30])])
+
+
+def test_write_table_concurrent_first_write_race(spark, warehouse):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cdm_data_loader_utils_spark.lake.table import write_table
+
+    path = os.path.join(warehouse, "fresh")
+
+    def write(i):
+        return write_table(
+            spark, path,
+            _df(spark, [(f"w{i}", i, datetime.datetime(2026, 1, 1))]),
+            mode="append",
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(write, [1, 2]))
+    got = {(r.k, r.v) for r in LakeTable.load(spark, path).read().collect()}
+    assert got == {("w1", 1), ("w2", 2)}
+
+
+def test_fence_horizon_bounds_snapshot_metadata(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         properties={"fence.max_entries": 3})
+    for i in range(5):
+        t.append(_df(spark, [(f"k{i}", i, datetime.datetime(2026, 1, 1))]),
+                 fence_key=f"run:{i}")
+    fences = t.snapshot()["fences"]
+    assert len(fences) == 3
+    # newest fences retained, oldest evicted past the horizon
+    assert t.is_fenced("run:4") is not None
+    assert t.is_fenced("run:0") is None
+    assert t.read().count() == 5
+
+
+def test_merge_exclude_cols_opt_out(spark, warehouse):
+    """A business payload legitimately named batch_id survives the merge
+    when the transport-column exclusion is opted out."""
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("batch_id", T.LongType()),
+    ])
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), schema,
+                         bucket_by="k", bucket_count=2)
+    src = spark.createDataFrame(
+        [("a", 7, 1, "i")], "k string, batch_id long, lsn long, op string"
+    )
+    t.merge_cdc(src, key_cols=["k"], lsn_col="lsn", op_col="op",
+                exclude_cols=())
+    assert [(r.k, r.batch_id) for r in t.read().collect()] == [("a", 7)]
