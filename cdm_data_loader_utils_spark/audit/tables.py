@@ -165,7 +165,11 @@ class AuditStore:
     # -- rejects ------------------------------------------------------------
     def write_rejects(self, run_id: str, batch_id: int, invalid: DataFrame) -> int:
         """Capture invalid rows: raw record as JSON + error array, mirroring
-        ``audit/rejects.py:73`` (``to_json(struct(*cols))``)."""
+        ``audit/rejects.py:73`` (``to_json(struct(*cols))``).
+
+        Fenced on (run_id, batch_id): a batch re-delivered after a failed
+        merge (its own fence never committed) must not append its reject
+        rows a second time."""
         if invalid.isEmpty():
             return 0
         payload_cols = [c for c in invalid.columns if c != ROW_ERRORS_COL]
@@ -176,7 +180,7 @@ class AuditStore:
             F.col(ROW_ERRORS_COL).alias("errors_in_record"),
             F.current_timestamp().alias("timestamp"),
         )
-        self.rejects.append(out)
+        self.rejects.append(out, fence_key=f"{run_id}:{batch_id}:rejects")
         return self.rejects.snapshot()["summary"].get("rows_written", 0)
 
     # -- metrics view -------------------------------------------------------

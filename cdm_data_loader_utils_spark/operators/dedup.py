@@ -61,9 +61,18 @@ def affine_params(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def normalize_text(col: F.Column | str) -> F.Column:
-    """Lowercase, strip non-alphanumerics to single spaces, trim."""
+    """Lowercase, collapse non-letter/digit runs to single spaces, trim.
+
+    Unicode-aware (``\\p{L}\\p{N}`` — Java and RE2 agree on these classes,
+    so the DuckDB oracle normalizes identically): an ASCII-only class here
+    would normalize every non-Latin-script document to the empty string and
+    :func:`exact_dedup` would silently collapse the whole non-Latin corpus
+    into one surviving row. Texts with NO letters/digits at all (emoji-only,
+    pure punctuation) fall back to their trimmed lowercase raw form instead
+    of the empty string, so they never mass-collide either."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " "))
+    return F.when(F.length(norm) == 0, F.lower(F.trim(c))).otherwise(norm)
 
 
 def tokens(col: F.Column | str) -> F.Column:
@@ -457,7 +466,14 @@ def simhash_pairs(
     Candidate blocking: split the 60-bit fingerprint into ``bands`` chunks —
     any pair within Hamming ≤ bands−1 shares at least one identical chunk
     (pigeonhole), so a chunk-equality join finds all such pairs without the
-    quadratic blowup."""
+    quadratic blowup. The pigeonhole guarantee REQUIRES
+    ``max_hamming ≤ bands − 1``; a looser radius would silently miss pairs
+    whose differing bits spread across every chunk, so it raises instead."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
+            f"bands-1={bands - 1}; raise bands to at least {max_hamming + 1}"
+        )
     fps = simhash(df, text_col, id_col)
     width = 60 // bands
     chunks = F.array(

@@ -73,6 +73,7 @@ def lww_dedup_salted(
     key_cols: list[str],
     order_cols: list[str] = ("lsn", "ts"),
     salt_buckets: int = 32,
+    extra_tiebreak: str | None = "op",
 ) -> DataFrame:
     """Two-phase LWW for hot keys: local max-per-(key, salt) then global.
 
@@ -91,5 +92,7 @@ def lww_dedup_salted(
         df.withColumn("__salt", salt),
         key_cols=list(key_cols) + ["__salt"],
         order_cols=order_cols,
+        extra_tiebreak=extra_tiebreak,
     ).drop("__salt")
-    return lww_dedup(local, key_cols=key_cols, order_cols=order_cols)
+    return lww_dedup(local, key_cols=key_cols, order_cols=order_cols,
+                     extra_tiebreak=extra_tiebreak)

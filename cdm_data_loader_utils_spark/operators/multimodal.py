@@ -124,7 +124,7 @@ def size_partitions_for_payloads(
 ) -> DataFrame:
     """Repartition so each task's payload bytes fit the target (binary rows
     are huge; default row-count-based splits overload executors)."""
-    n = max(1, total_bytes // target_partition_bytes)
+    n = max(1, (total_bytes + target_partition_bytes - 1) // target_partition_bytes)
     return df.repartition(int(n))
 
 

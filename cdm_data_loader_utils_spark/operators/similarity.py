@@ -140,6 +140,14 @@ def cosine_pairs_blocked(
     if num_chunks is None:
         n = df.count()
         num_chunks = max(1, (n + chunk_size - 1) // chunk_size)
+    # ids keep their NATIVE type end-to-end: a cast("long") here would crash
+    # on string ids under Spark 4 ANSI mode (or null them all out with ANSI
+    # off), while the exact cosine_pairs path this operator is score-exact
+    # against accepts any id type
+    id_type = df.schema[id_col].dataType
+    integral_ids = isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
     chk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_chunks)).cast("int")
     # hoist norms once per vector (JVM-side, same summation order as the
     # exact path) and pack (id, vec, norm) per chunk, deterministically
@@ -148,7 +156,7 @@ def cosine_pairs_blocked(
         df.select(
             chk.alias("chk"),
             F.struct(
-                F.col(id_col).cast("long").alias("id"),
+                F.col(id_col).alias("id"),
                 F.col(vec_col).alias("v"),
                 norm(F.col(vec_col)).alias("n"),
             ).alias("e"),
@@ -179,11 +187,12 @@ def cosine_pairs_blocked(
 
     out_schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    id_np_dtype = np.int64 if integral_ids else object
 
     def _round6(x: float) -> float:
         # Spark's Round(double, 6) = HALF_UP on the shortest decimal repr
@@ -212,8 +221,8 @@ def cosine_pairs_blocked(
                 pdf["chk_a"].to_numpy() == pdf["chk_b"].to_numpy(),
                 pdf["es_a"], pdf["es_b"],
             ):
-                ia = np.fromiter((e["id"] for e in es_a), dtype=np.int64)
-                ib = np.fromiter((e["id"] for e in es_b), dtype=np.int64)
+                ia = np.array([e["id"] for e in es_a], dtype=id_np_dtype)
+                ib = np.array([e["id"] for e in es_b], dtype=id_np_dtype)
                 va = np.asarray([np.asarray(e["v"], dtype=np.float64) for e in es_a])
                 vb = np.asarray([np.asarray(e["v"], dtype=np.float64) for e in es_b])
                 na = np.fromiter((e["n"] for e in es_a), dtype=np.float64)
@@ -243,22 +252,24 @@ def cosine_pairs_blocked(
                 xa, xb = ia[ii[keep]], ib[jj[keep]]
                 swap = xa > xb
                 xa, xb = np.where(swap, xb, xa), np.where(swap, xa, xb)
+                pd_id = "int64" if integral_ids else "object"
                 outs.append(
                     pd.DataFrame(
                         {
-                            "id_a": pd.Series(xa, dtype="int64"),
-                            "id_b": pd.Series(xb, dtype="int64"),
+                            "id_a": pd.Series(xa, dtype=pd_id),
+                            "id_b": pd.Series(xb, dtype=pd_id),
                             "cosine": pd.Series(scores[keep], dtype="float64"),
                         }
                     )
                 )
+            empty_id = "int64" if integral_ids else "object"
             yield (
                 pd.concat(outs, ignore_index=True)
                 if outs
                 else pd.DataFrame(
                     {
-                        "id_a": pd.Series([], dtype="int64"),
-                        "id_b": pd.Series([], dtype="int64"),
+                        "id_a": pd.Series([], dtype=empty_id),
+                        "id_b": pd.Series([], dtype=empty_id),
                         "cosine": pd.Series([], dtype="float64"),
                     }
                 )

@@ -59,10 +59,12 @@ def classify_changes(
     # this generalization has to handle nullable value columns)
     old_present = F.coalesce(F.col("__old_present"), F.lit(False))
     new_present = F.coalesce(F.col("__new_present"), F.lit(False))
-    any_diff = None
+    # presence-only diffs (value_cols=[]) are legitimate: rows common to
+    # both sides are then always UNCHANGED
+    any_diff = F.lit(False)
     for c in value_cols:
         d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        any_diff = d if any_diff is None else (any_diff | d)
+        any_diff = any_diff | d
     change = (
         F.when(~old_present & new_present, F.lit(CHANGE_NEW))
         .when(old_present & ~new_present, F.lit(CHANGE_DELETED))
@@ -91,7 +93,9 @@ def diff_snapshots(
             r[0]
             for r in snapshots.groupBy(tag_col)
             .agg(F.max("retrieved_at").alias("m"))
-            .orderBy(F.col("m").desc())
+            # tag as tiebreak: two tags stamped in the same instant must
+            # still pick a DETERMINISTIC old/new orientation across reruns
+            .orderBy(F.col("m").desc(), F.col(tag_col).desc())
             .limit(2)
             .collect()
         ]
@@ -157,6 +161,11 @@ def to_change_events(
         .when(F.col("change_type") == CHANGE_NEW, F.lit("i"))
         .otherwise(F.lit("u"))
     )
+    # content-derived, deterministic, parallel — but a 64-bit hash is NOT
+    # collision-free (~N²/2^64 expected ties at 10^10 keys). Ties are
+    # harmless downstream because each synthesized event also carries its
+    # distinct key and LWW dedup orders within (key, lsn); consumers that
+    # need a strictly unique global WAL order must assign real LSNs
     lsn = (
         F.abs(F.xxhash64(*[F.col(k) for k in key_cols])) + F.lit(lsn_offset)
     ).cast("long")

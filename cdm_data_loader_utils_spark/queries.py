@@ -580,7 +580,14 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+# mirrors operators.dedup.normalize_text exactly: Unicode letter/digit
+# classes (Java regex and DuckDB's RE2 agree on \p{L}/\p{N}) plus the
+# all-stripped fallback to trimmed lowercase raw text
+_NORM_SQL = (
+    "CASE WHEN length(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))) = 0 "
+    "THEN lower(trim(text)) "
+    "ELSE trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) END"
+)
 
 
 def _sw_ratio_sql(words: tuple[str, ...]) -> str:

@@ -94,8 +94,9 @@ def conversation_progress(events: DataFrame) -> DataFrame:
         new_events, new_max = 0, max_lsn
         for pdf in pdfs:
             new_events += len(pdf)
-            if len(pdf):
-                new_max = max(new_max, int(pd.to_numeric(pdf["lsn"]).max()))
+            lsns = pd.to_numeric(pdf["lsn"], errors="coerce").dropna()
+            if len(lsns):  # all-null lsn batch: keep the old watermark
+                new_max = max(new_max, int(lsns.max()))
         events_seen += new_events
         batches += 1
         state.update((events_seen, new_max, batches))

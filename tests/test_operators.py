@@ -142,7 +142,8 @@ def test_minhash_lsh_finds_near_dups(spark):
 
 
 def test_simhash_pairs(spark):
-    out = simhash_pairs(_docs(spark), max_hamming=10, bands=4)
+    # bands ≥ max_hamming+1 keeps the pigeonhole recall guarantee sound
+    out = simhash_pairs(_docs(spark), max_hamming=10, bands=12)
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     assert (1, 2) in pairs and (1, 3) in pairs
     ham = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
@@ -480,3 +481,59 @@ def test_blocked_cosine_never_broadcasts_packed_vectors(spark):
         assert "Aggregate" not in sub and "collect_list" not in sub, (
             f"packed vector aggregate under a BroadcastExchange:\n{sub}"
         )
+
+
+def test_blocked_cosine_supports_string_ids(spark):
+    """ids keep their native type end-to-end (a long cast would crash under
+    ANSI or null-out every id): string-id results must match the exact path."""
+    from cdm_data_loader_utils_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_blocked,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .selectExpr("format_string('doc-%05d', vec_id) AS vec_id", "embedding")
+    )
+    exact = {
+        (r.id_a, r.id_b, r.cosine) for r in cosine_pairs(e, threshold=0.4).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_pairs_blocked(e, threshold=0.4, chunk_size=64).collect()
+    }
+    assert exact == blocked and len(exact) > 0
+    assert all(isinstance(a, str) for a, _b, _c in blocked)
+
+
+def test_simhash_pairs_rejects_unsound_radius(spark):
+    import pytest
+
+    from cdm_data_loader_utils_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=5, bands=4)
+
+
+def test_normalize_text_preserves_non_latin_scripts(spark):
+    """Non-Latin documents must NOT normalize to the empty string (exact
+    dedup would otherwise collapse the whole non-Latin corpus into one row);
+    symbol-only docs fall back to their raw trimmed form."""
+    from cdm_data_loader_utils_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "机器学习模型"),
+            (2, "Машинное обучение"),
+            (3, "μηχανική μάθηση"),
+            (4, "hello world"),
+            (5, "hello, WORLD!"),
+            (6, ":-) !!!"),
+            (7, "(-: ???"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in exact_dedup(docs).collect()}
+    # only the true duplicate pair (4, 5) collapses
+    assert kept == {1, 2, 3, 4, 6, 7}
