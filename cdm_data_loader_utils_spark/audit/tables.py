@@ -92,7 +92,13 @@ class AuditStore:
             [tuple(r.get(f.name) for f in log_schema.fields) for r in rows],
             schema=log_schema,
         ).withColumn("updated", now)
-        self.ingest_log.append(df)
+        # fenced like the data merge: a re-delivered batch (concurrent
+        # second driver, resume=False rerun) must not append duplicate
+        # lineage rows that double run_metrics' sums. Status transitions
+        # (RUNNING -> SUCCESS/ERROR rows) carry distinct fence keys.
+        self.ingest_log.append(
+            df, fence_key=f"{run_id}:{batch_id}:{status}:log"
+        )
 
     def last_checkpoint(self, run_id: str) -> dict | None:
         """Latest SUCCESS batch for a run — reference checkpoint lookup
@@ -170,7 +176,9 @@ class AuditStore:
         Fenced on (run_id, batch_id): a batch re-delivered after a failed
         merge (its own fence never committed) must not append its reject
         rows a second time."""
+        invalid = invalid.persist()
         if invalid.isEmpty():
+            invalid.unpersist()
             return 0
         payload_cols = [c for c in invalid.columns if c != ROW_ERRORS_COL]
         out = invalid.select(
@@ -180,8 +188,11 @@ class AuditStore:
             F.col(ROW_ERRORS_COL).alias("errors_in_record"),
             F.current_timestamp().alias("timestamp"),
         )
-        self.rejects.append(out, fence_key=f"{run_id}:{batch_id}:rejects")
-        return self.rejects.snapshot()["summary"].get("rows_written", 0)
+        sid = self.rejects.append(out, fence_key=f"{run_id}:{batch_id}:rejects")
+        invalid.unpersist()
+        # count from the snapshot THIS append (or its earlier fenced twin)
+        # created — the latest snapshot may belong to another batch
+        return self.rejects.snapshot(sid)["summary"].get("rows_written", 0)
 
     # -- metrics view -------------------------------------------------------
     def run_metrics(self, run_id: str) -> DataFrame:

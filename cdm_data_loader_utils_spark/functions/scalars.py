@@ -24,7 +24,17 @@ def sha256_fingerprint(*cols: Column | str) -> Column:
     refseq_pipeline/core/refseq_io.py:216-221``) and ``calculate_hash``
     (``utils/calculate_hash.py:69-87``). Normalizes newlines like
     ``normalize_multiline_text`` (``refseq_io.py:71-75``)."""
-    joined = F.concat_ws("\x1f", *[F.col(c) if isinstance(c, str) else c for c in cols])
+    # concat_ws silently SKIPS null columns, which would hash ('x', NULL,
+    # 'b') and ('x', 'b', NULL) identically — encode nulls with a marker the
+    # value space cannot produce, so distinct records never collide
+    parts = [
+        F.coalesce(
+            F.concat(F.lit("v:"), (F.col(c) if isinstance(c, str) else c).cast("string")),
+            F.lit("null:"),
+        )
+        for c in cols
+    ]
+    joined = F.concat_ws("\x1f", *parts)
     normalized = F.regexp_replace(joined, "\r\n?", "\n")
     return F.sha2(normalized, 256)
 
@@ -47,7 +57,16 @@ def uuid5_udf(ns: pd.Series, name: pd.Series) -> pd.Series:
 def deterministic_id(*cols: Column | str, namespace: str = "6ba7b810-9dad-11d1-80b4-00c04fd430c8") -> Column:
     """uuid5 over a composite key — pandas UDF wrapper of the reference's id
     builder; prefer :func:`sha256_fingerprint` when a raw hash suffices."""
-    key = F.concat_ws("|", *[F.col(c) if isinstance(c, str) else c for c in cols])
+    # null-marking as in sha256_fingerprint: concat_ws alone would give
+    # distinct records with shifted nulls the SAME uuid
+    parts = [
+        F.coalesce(
+            F.concat(F.lit("v:"), (F.col(c) if isinstance(c, str) else c).cast("string")),
+            F.lit("null:"),
+        )
+        for c in cols
+    ]
+    key = F.concat_ws("|", *parts)
     return uuid5_udf(F.lit(namespace), key)
 
 
@@ -56,17 +75,22 @@ def safe_int(col: Column | str) -> Column:
     """Comma-tolerant integer coercion → null on garbage; vectorized form of
     driver-side ``safe_int`` (``core/cdm_parse.py:15-20``)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c.cast("string"), ",", "").cast("long")
+    # try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    # THROWS on garbage — one malformed value would abort the whole job
+    # instead of yielding the contracted null
+    return F.regexp_replace(c.cast("string"), ",", "").try_cast("long")
 
 def safe_float(col: Column | str) -> Column:
     """``safe_float`` (``core/cdm_parse.py:22-26``)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c.cast("string"), ",", "").cast("double")
+    return F.regexp_replace(c.cast("string"), ",", "").try_cast("double")
 
 def percent_to_fraction(col: Column | str) -> Column:
     """``percent_to_fraction`` (``core/cdm_parse.py:28-31``): '42%' → 0.42."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.regexp_replace(c.cast("string"), "[%,]", "").cast("double") / 100.0)
+    return (
+        F.regexp_replace(c.cast("string"), "[%,]", "").try_cast("double") / 100.0
+    )
 
 
 # --- nested extraction -------------------------------------------------------
@@ -96,5 +120,7 @@ def coalesce_fallback(primary: Column | str, fallback: Column | str) -> Column:
 def guarded_date(col: Column | str, fmt: str = "yyyyMMdd") -> Column:
     """rlike-guarded date parse (``parsers/gene_association_file.py:122-127``)."""
     c = F.col(col) if isinstance(col, str) else col
+    # try_to_date: the rlike guard cannot catch range garbage ('99999999'
+    # matches ^[0-9]{8}$ but has no month 99), which THROWS under ANSI
     pattern = "^[0-9]{8}$" if fmt == "yyyyMMdd" else ".*"
-    return F.when(c.rlike(pattern), F.to_date(c, fmt)).otherwise(F.lit(None))
+    return F.when(c.rlike(pattern), F.try_to_date(c, fmt)).otherwise(F.lit(None))

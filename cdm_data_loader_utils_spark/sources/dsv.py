@@ -111,7 +111,14 @@ def export_single_csv(df: DataFrame, target: str, header: bool = True) -> str:
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean, corrupt) split on the corrupt-record column."""
+    """(clean, corrupt) split on the corrupt-record column.
+
+    The input is cached first — Spark's documented requirement for
+    referencing the corrupt-record column: without it, column pruning
+    reduces a ``corrupt.count()`` (the primary audit use) to a scan of ONLY
+    the corrupt column and the query fails with
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN."""
+    df = df.cache()
     clean = df.filter(F.col(CORRUPT_RECORD_COL).isNull()).drop(CORRUPT_RECORD_COL)
     corrupt = df.filter(F.col(CORRUPT_RECORD_COL).isNotNull())
     return clean, corrupt

@@ -36,6 +36,7 @@ RECORD_SCHEMA = T.StructType(
         T.StructField("record_idx", T.LongType()),
         T.StructField("header", T.StringType()),
         T.StructField("body", T.StringType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -49,35 +50,46 @@ def read_delimited_records(
 
     Each record = a header line starting with ``record_prefix`` plus the
     body lines until the next header. Gzip is handled transparently
-    (reference gz-awareness: ``utils/xml_utils.py:134-140``)."""
+    (reference gz-awareness: ``utils/xml_utils.py:134-140``). CRLF files
+    strip the carriage return too (an HTTP-downloaded corpus must hash and
+    join identically to its LF-saved twin). PERMISSIVE: a corrupt/truncated
+    file (bad gzip, etc.) yields ONE row with ``error`` set instead of
+    failing the task."""
     files = spark.read.format("binaryFile").load(path_glob)
 
     def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"path": [], "record_idx": [], "header": [], "body": []}
+            rows = {"path": [], "record_idx": [], "header": [],
+                    "body": [], "error": []}
+
+            def emit(path, idx, header, body, err=None):
+                rows["path"].append(path)
+                rows["record_idx"].append(idx)
+                rows["header"].append(header)
+                rows["body"].append(body)
+                rows["error"].append(err)
+
             for path, blob in zip(pdf["path"], pdf["content"]):
-                data = bytes(blob)
-                if path.endswith(".gz"):
-                    data = gzip.decompress(data)
-                text = data.decode("utf-8", errors="replace")
+                try:
+                    data = bytes(blob)
+                    if path.endswith(".gz"):
+                        data = gzip.decompress(data)
+                    text = data.decode("utf-8", errors="replace")
+                except Exception as e:
+                    emit(path, 0, None, None, str(e))
+                    continue
                 header, body, idx = None, [], 0
                 for line in io.StringIO(text):
-                    line = line.rstrip("\n")
+                    line = line.rstrip("\r\n")
                     if line.startswith(record_prefix):
                         if header is not None:
-                            rows["path"].append(path)
-                            rows["record_idx"].append(idx)
-                            rows["header"].append(header)
-                            rows["body"].append("\n".join(body))
+                            emit(path, idx, header, "\n".join(body))
                             idx += 1
                         header, body = line[len(record_prefix):], []
                     elif header is not None:
                         body.append(line)
                 if header is not None:
-                    rows["path"].append(path)
-                    rows["record_idx"].append(idx)
-                    rows["header"].append(header)
-                    rows["body"].append("\n".join(body))
+                    emit(path, idx, header, "\n".join(body))
             yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(_segment, RECORD_SCHEMA)
@@ -134,9 +146,15 @@ def read_xml_records(
                 rows["error"].append(err)
 
             for path, blob in zip(pdf["path"], pdf["content"]):
-                data = bytes(blob)
-                if path.endswith(".gz"):
-                    data = gzip.decompress(data)
+                try:
+                    data = bytes(blob)
+                    if path.endswith(".gz"):
+                        data = gzip.decompress(data)
+                except Exception as e:
+                    # a truncated .gz must produce an error ROW, not a task
+                    # failure — same PERMISSIVE contract as malformed XML
+                    emit(path, 0, None, None, str(e))
+                    continue
                 idx = 0
                 # Parent stack so finished elements can be detached from
                 # their OWN parent (root.clear() only drops the root's
@@ -193,8 +211,12 @@ def tail_paginated(
     ``fetch_page(token) -> (rows, next_token)``; retries with exponential
     backoff mirror the reference's HTTP session policy (3 retries, backoff
     0.5 — ``core/refseq_io.py:48-52``). The fetch loop is driver-side by
-    nature; rows become executor data at each ``createDataFrame``."""
-    frames: list[DataFrame] = []
+    nature (a remote cursor); rows accumulate as plain tuples and become ONE
+    DataFrame at the end — a per-page union chain would build an
+    O(pages)-deep plan whose analysis cost grows quadratically on long
+    tails, for zero gain (createDataFrame is lazy, nothing overlaps the
+    fetch either way)."""
+    all_rows: list[tuple] = []
     token: str | None = None
     pages = 0
     while True:
@@ -208,19 +230,10 @@ def tail_paginated(
                 if attempt > max_retries:
                     raise
                 time.sleep(backoff_s * (2 ** (attempt - 1)))
-        if rows:
-            frames.append(
-                spark.createDataFrame(
-                    [tuple(r.get(f.name) for f in schema.fields) for r in rows],
-                    schema,
-                )
-            )
+        all_rows.extend(
+            tuple(r.get(f.name) for f in schema.fields) for r in rows
+        )
         pages += 1
         if token is None or (max_pages is not None and pages >= max_pages):
             break
-    if not frames:
-        return spark.createDataFrame([], schema)
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    return spark.createDataFrame(all_rows, schema)

@@ -87,3 +87,79 @@ def test_read_csv_inferred(spark, tmp_path):
     df = read_csv_inferred(spark, p)
     assert dict(df.dtypes)["v"] in ("int", "bigint")
     assert df.count() == 2
+
+
+def test_safe_coercions_null_on_garbage_under_ansi(spark):
+    """Spark 4 ships ANSI on: a single malformed value must yield null, not
+    abort the job (try_cast / try_to_date paths)."""
+    from cdm_data_loader_utils_spark.functions.scalars import (
+        guarded_date,
+        percent_to_fraction,
+        safe_float,
+        safe_int,
+    )
+
+    df = spark.createDataFrame(
+        [("abc", "xyz%", "99999999"), ("1,234", "42%", "20260101")],
+        ["num", "pct", "d"],
+    )
+    rows = df.select(
+        safe_int("num").alias("i"),
+        safe_float("num").alias("f"),
+        percent_to_fraction("pct").alias("p"),
+        guarded_date("d").alias("dt"),
+    ).collect()
+    bad, good = rows[0], rows[1]
+    assert bad.i is None and bad.f is None and bad.p is None and bad.dt is None
+    assert good.i == 1234 and good.p == 0.42 and str(good.dt) == "2026-01-01"
+
+
+def test_fingerprint_distinguishes_null_positions(spark):
+    """concat_ws alone skips nulls, colliding ('x', NULL, 'b') with
+    ('x', 'b', NULL) — null-marking must keep them distinct."""
+    from cdm_data_loader_utils_spark.functions.scalars import (
+        deterministic_id,
+        sha256_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [("x", None, "b"), ("x", "b", None), ("x", None, None)],
+        ["a", "b", "c"],
+    )
+    out = df.select(
+        sha256_fingerprint("a", "b", "c").alias("h"),
+        deterministic_id("a", "b", "c").alias("u"),
+    ).collect()
+    assert len({r.h for r in out}) == 3
+    assert len({r.u for r in out}) == 3
+
+
+def test_split_corrupt_counts_are_queryable(spark, tmp_path):
+    """Counting the corrupt/clean splits must not die on Spark's
+    corrupt-record column-pruning restriction."""
+    from cdm_data_loader_utils_spark.sources.dsv import read_dsv, split_corrupt
+
+    from pyspark.sql import types as T
+
+    p = tmp_path / "x.tsv"
+    p.write_text("1\ta\n2\tb\nbroken\trow\textra\n3\tc\n")
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+    ])
+    df = read_dsv(spark, str(p), schema=schema, delimiter="\t")
+    clean, corrupt = split_corrupt(df)
+    assert corrupt.count() == 1
+    assert clean.count() == 3
+
+
+def test_delimited_records_crlf_and_corrupt_gz(spark, tmp_path):
+    from cdm_data_loader_utils_spark.sources.records import read_delimited_records
+
+    (tmp_path / "a.fa").write_bytes(b">h1 desc\r\nACGT\r\nTTTT\r\n")
+    (tmp_path / "bad.fa.gz").write_bytes(b"\x1f\x8b\x08\x00garbage-truncated")
+    out = read_delimited_records(spark, str(tmp_path) + "/*").collect()
+    ok = [r for r in out if r.error is None]
+    bad = [r for r in out if r.error is not None]
+    assert len(ok) == 1 and ok[0].header == "h1 desc" and ok[0].body == "ACGT\nTTTT"
+    assert len(bad) == 1 and bad[0].path.endswith("bad.fa.gz")
