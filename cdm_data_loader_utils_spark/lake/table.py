@@ -225,14 +225,14 @@ def _encode_pred_value(v, dtype: T.DataType | None, session_tz: str | None):
         if not isinstance(v, datetime.datetime):
             return None
         if v.tzinfo is None:
-            # the residual Spark filter interprets a naive literal in the
-            # SESSION timezone — pruning must agree with it exactly
-            try:
-                from zoneinfo import ZoneInfo
-
-                v = v.replace(tzinfo=ZoneInfo(session_tz or "UTC"))
-            except Exception:
-                return None
+            # A naive literal against an INSTANT column is ambiguous:
+            # PySpark converts it via the DRIVER's OS timezone (not the
+            # session timezone), a machine-dependent interpretation the
+            # pruner must not guess at — one wrong guess silently drops
+            # matching files (verified: session tz ≠ OS tz flips the
+            # boundary). Refuse to prune; the residual filter decides.
+            # Pass a tz-AWARE datetime to get pruning on instant columns.
+            return None
         epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
         # exact integer micros (float .timestamp() is ±1µs off pre-1970)
         return (v - epoch) // datetime.timedelta(microseconds=1)

@@ -488,10 +488,11 @@ def test_encode_pred_value_timezone_semantics():
     aware = dt.datetime(2026, 1, 1, 3, 0, tzinfo=utc)
     assert _encode_pred_value(aware, T.TimestampType(), "America/New_York") \
         == int(aware.timestamp() * 1_000_000)
+    # naive literal on an instant column: PySpark converts it via the
+    # DRIVER's OS timezone (machine-dependent) — the pruner must refuse
     naive = dt.datetime(2026, 1, 1, 3, 0)
-    enc_ny = _encode_pred_value(naive, T.TimestampType(), "America/New_York")
-    enc_utc = _encode_pred_value(naive, T.TimestampType(), "UTC")
-    assert enc_ny - enc_utc == 5 * 3600 * 1_000_000  # EST = UTC-5 in January
+    assert _encode_pred_value(naive, T.TimestampType(), "America/New_York") is None
+    assert _encode_pred_value(naive, T.TimestampType(), "UTC") is None
     # wall-clock column: aware literal is ambiguous → refuse to prune
     assert _encode_pred_value(aware, T.TimestampNTZType(), "UTC") is None
     assert _encode_pred_value(naive, T.TimestampNTZType(), "UTC") \
@@ -655,3 +656,46 @@ def test_merge_exclude_cols_opt_out(spark, warehouse):
     t.merge_cdc(src, key_cols=["k"], lsn_col="lsn", op_col="op",
                 exclude_cols=())
     assert [(r.k, r.batch_id) for r in t.read().collect()] == [("a", 7)]
+
+
+def test_stats_pruning_correct_under_non_utc_session_tz(spark, warehouse):
+    """Instant (TimestampType) stats are encoded as true epoch micros
+    JVM-side, so pruning stays sound when the session timezone is not UTC —
+    both for tz-aware predicates and naive ones (interpreted in session tz,
+    exactly like the residual filter)."""
+    import datetime as dt
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        schema = T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ])
+        t = LakeTable.create(spark, os.path.join(warehouse, "t"), schema,
+                             bucket_by="k", bucket_count=1)
+        utc = dt.timezone.utc
+        rows = [
+            (f"k{i}", dt.datetime(2026, 1, 1, h, 0, tzinfo=utc))
+            for i, h in enumerate(range(0, 24, 2))
+        ]
+        t.append(spark.createDataFrame(rows, schema))
+        t.compact(sort_by=["ts"], target_files_per_bucket=4)
+
+        aware_cut = dt.datetime(2026, 1, 1, 12, 0, tzinfo=utc)
+        got = t.read(where=[("ts", ">=", aware_cut)])
+        want = t.read().filter(F.col("ts") >= F.lit(aware_cut))
+        assert got.count() == want.count() == 6
+        scanned, skipped = t.plan_files(where=[("ts", ">=", aware_cut)])
+        assert skipped, "no files pruned under non-UTC session tz"
+        # a NAIVE literal against an instant column is machine-dependent
+        # (PySpark converts via the driver's OS tz, not the session tz):
+        # the pruner must refuse to prune but the read must stay CORRECT
+        naive_cut = dt.datetime(2026, 1, 1, 7, 0)
+        got_n = t.read(where=[("ts", ">=", naive_cut)])
+        want_n = t.read().filter(F.col("ts") >= F.lit(naive_cut))
+        assert got_n.count() == want_n.count()
+        _scanned_n, skipped_n = t.plan_files(where=[("ts", ">=", naive_cut)])
+        assert skipped_n == [], "naive instant literal must not prune"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
