@@ -811,6 +811,12 @@ class LakeTable:
             writer = dfu.write
         if codec:
             writer = writer.option("compression", codec)
+        # per-table parquet bloom filters ("write.bloom.columns" property):
+        # row-group-level point-lookup pruning for high-cardinality keys
+        # whose min/max ranges are too wide to skip on (e.g. conv_id inside
+        # a hash bucket) — the third pruning tier after buckets and stats
+        for bcol in (props.get("write.bloom.columns") or []):
+            writer = writer.option(f"parquet.bloom.filter.enabled#{bcol}", "true")
         writer.parquet(self.fs.spark_path(final_dir))
         files = [
             p for p in self.fs.walk_files(final_dir) if p.endswith(".parquet")

@@ -313,6 +313,130 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# record sources round-tripped against the documents table (S1 / S8 / S9):
+# deterministic text/XML/FASTA files are generated FROM documents.parquet,
+# read back through the real source readers, and must reproduce the table —
+# closing the gate on the segmentation/corrupt-capture logic itself.
+# --------------------------------------------------------------------------
+_SOURCE_FILE_CACHE: dict[str, str] = {}
+
+
+def _docs_pdf(sf_dir: str):
+    import pandas as pd
+
+    return (
+        pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _source_file(sf_dir: str, kind: str, render) -> str:
+    """Write (once per process) a deterministic source file derived from the
+    documents table; returns its path."""
+    key = f"{kind}:{sf_dir}"
+    p = _SOURCE_FILE_CACHE.get(key)
+    if p is None:
+        import atexit
+        import shutil
+
+        tmp = tempfile.mkdtemp(prefix=f"src_{kind}_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        p = os.path.join(tmp, f"docs.{kind}")
+        with open(p, "w") as f:
+            f.write(render(_docs_pdf(sf_dir)))
+        _SOURCE_FILE_CACHE[key] = p
+    return p
+
+
+def q_dsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: PERMISSIVE DSV read + corrupt-record capture. The generated TSV
+    carries every documents row plus two malformed lines; the clean split
+    must reproduce the table exactly (corrupt rows captured, not leaked)."""
+    from pyspark.sql import types as T
+
+    from .sources.dsv import read_dsv, split_corrupt
+
+    def render(pdf):
+        lines = [
+            f"{r.doc_id}\t{r.lang}\t{r.n_chars}" for r in pdf.itertuples()
+        ]
+        lines.insert(3, "corrupt-line-without-tabs")
+        lines.append("also\tbad\tnot-a-number")
+        return "\n".join(lines) + "\n"
+
+    path = _source_file(sf_dir, "tsv", render)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    df = read_dsv(spark, path, schema=schema, delimiter="\t")
+    clean, _corrupt = split_corrupt(df)
+    return clean.select("doc_id", "lang", "n_chars")
+
+
+_DSV_ROUNDTRIP_ORACLE = "SELECT doc_id, lang, n_chars FROM documents"
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: tag-based streaming XML segmentation (nested two levels below
+    root). Attributes are re-extracted from each serialized record element;
+    the result must reproduce the documents table."""
+    from .sources.records import read_xml_records
+
+    def render(pdf):
+        rows = "".join(
+            f'<doc id="{r.doc_id}" lang="{r.lang}" n="{r.n_chars}"/>'
+            for r in pdf.itertuples()
+        )
+        return f"<root><meta>x</meta><batch>{rows}</batch></root>"
+
+    path = _source_file(sf_dir, "xml", render)
+    recs = read_xml_records(spark, path, tag="doc").filter(
+        F.col("error").isNull()
+    )
+    return recs.select(
+        F.regexp_extract("xml", r'id="(\d+)"', 1).cast("long").alias("doc_id"),
+        F.regexp_extract("xml", r'lang="([^"]*)"', 1).alias("lang"),
+        F.regexp_extract("xml", r'n="(\d+)"', 1).cast("long").alias("n_chars"),
+    )
+
+
+_XML_ROUNDTRIP_ORACLE = "SELECT doc_id, lang, n_chars FROM documents"
+
+
+def q_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: FASTA-style delimited-record segmentation. Headers carry
+    (doc_id, lang); bodies are n_chars%50+1 bases over two lines — the
+    reader must reassemble multi-line bodies exactly."""
+    from .sources.records import read_delimited_records
+
+    def render(pdf):
+        out = []
+        for r in pdf.itertuples():
+            n = int(r.n_chars) % 50 + 1
+            body = "A" * n
+            # split the body over two lines to exercise reassembly
+            out.append(f">{r.doc_id} {r.lang}\n{body[: n // 2]}\n{body[n // 2:]}")
+        return "\n".join(out) + "\n"
+
+    path = _source_file(sf_dir, "fa", render)
+    recs = read_delimited_records(spark, path).filter(F.col("error").isNull())
+    return recs.select(
+        F.split("header", " ")[0].cast("long").alias("doc_id"),
+        F.split("header", " ")[1].alias("lang"),
+        F.length(F.regexp_replace("body", "\n", "")).alias("body_len"),
+    )
+
+
+_FASTA_ROUNDTRIP_ORACLE = (
+    "SELECT doc_id, lang, CAST(n_chars % 50 + 1 AS INTEGER) AS body_len "
+    "FROM documents"
+)
+
+
+# --------------------------------------------------------------------------
 # snapshot diff family (J1-J4, P6)
 # --------------------------------------------------------------------------
 def _halves(spark, sf_dir):
@@ -1475,6 +1599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_time_travel": q_lake_time_travel,
         "lake_update": q_lake_update,
         "lake_schema_evolution": q_lake_schema_evolution,
+        "dsv_roundtrip": q_dsv_roundtrip,
+        "xml_roundtrip": q_xml_roundtrip,
+        "fasta_roundtrip": q_fasta_roundtrip,
         "exact_dedup": q_exact_dedup,
         "jaccard_near_dups": q_jaccard_near_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -1529,6 +1656,9 @@ def oracle_sql() -> dict[str, str]:
         "lake_time_travel": _LAKE_TRAVEL_ORACLE,
         "lake_update": _LAKE_UPDATE_ORACLE,
         "lake_schema_evolution": _LAKE_EVOLVE_ORACLE,
+        "dsv_roundtrip": _DSV_ROUNDTRIP_ORACLE,
+        "xml_roundtrip": _XML_ROUNDTRIP_ORACLE,
+        "fasta_roundtrip": _FASTA_ROUNDTRIP_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "jaccard_near_dups": _JACCARD_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
