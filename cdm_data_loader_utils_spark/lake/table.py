@@ -1021,9 +1021,17 @@ class LakeTable:
         set_values: dict[str, F.Column],
         summary: dict | None = None,
         fence_key: str | None = None,
+        where: list[tuple] | None = None,
     ) -> tuple[int, int]:
         """Targeted copy-on-write UPDATE: set columns where ``condition``
         holds; only files containing matching rows are rewritten.
+
+        ``where`` is an optional conjunctive ``(col, op, value)`` hint that
+        MUST be implied by ``condition`` (it is also re-applied as a filter,
+        so an inconsistent hint can only under-update, never corrupt): files
+        whose stats provably exclude it are skipped BEFORE the match probe —
+        without it the probe scans every live file even when the update
+        touches one day of a year-long table.
 
         Returns (snapshot_id, rows_updated). A no-op update (0 matching
         rows) warns and commits nothing — mirroring the reference's
@@ -1031,7 +1039,8 @@ class LakeTable:
         (``audit/run.py:27-30`` ``_table_not_updated``,
         ``audit/checkpoint.py:74-91``)."""
         return self._retry_commit(
-            lambda: self._update_once(condition, set_values, summary, fence_key)
+            lambda: self._update_once(condition, set_values, summary,
+                                      fence_key, where)
         )
 
     def _update_once(
@@ -1040,6 +1049,7 @@ class LakeTable:
         set_values: dict[str, F.Column],
         summary: dict | None,
         fence_key: str | None,
+        where: list[tuple] | None = None,
     ) -> tuple[int, int]:
         import warnings
 
@@ -1048,6 +1058,14 @@ class LakeTable:
         if fenced is not None:
             return fenced, 0
         existing = self.files(snap)
+        if where:
+            types = {f.name: f.dataType for f in self.schema(snap).fields}
+            tz = self._session_tz()
+            existing = [
+                fe for fe in existing
+                if not _file_skippable(fe.stats, where, types, tz)
+            ]
+            condition = condition & _where_to_column(where)
         schema = self.schema(snap)
         has_del = META_DELETED in [f.name for f in schema.fields]
         live_cond = condition

@@ -729,3 +729,23 @@ def test_bloom_filter_property_written_and_readable(spark, warehouse):
             assert col.bloom_filter_offset is not None
     except StopIteration:
         pass  # k became the partition col layout; plumbing still verified
+
+
+def test_update_with_where_hint_prunes_probe(spark, warehouse):
+    """The where hint narrows the UPDATE's probe to stats-matching files;
+    results equal the unhinted update."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=1)
+    t.append(_df(spark, _rows(120)))
+    t.compact(sort_by=["v"], target_files_per_bucket=4)
+    n_files = len(t.files())
+    assert n_files > 1
+    _sid, updated = t.update(
+        F.col("v") >= 100, {"k": F.lit("hot")},
+        where=[("v", ">=", 100)],
+    )
+    assert updated == 20
+    assert t.snapshot()["summary"]["files_rewritten"] < n_files
+    got = {(r.v, r.k) for r in t.read().filter(F.col("v") >= 100).collect()}
+    assert got == {(v, "hot") for v in range(100, 120)}
+    assert t.read().count() == 120
