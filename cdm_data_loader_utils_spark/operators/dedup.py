@@ -134,7 +134,9 @@ def jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
     ).withColumn("sz", F.size("sh"))
-    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    # persist: the exploded index feeds the optional df-histogram plus both
+    # self-join sides; without it shingling re-executes up to 4×
+    ex = sh.select("id", "sz", F.explode("sh").alias("s")).persist()
     if max_shingle_df is not None:
         dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
         ex = (
@@ -221,7 +223,12 @@ def minhash_lsh_pairs(
       so the expensive array intersection runs only on plausible pairs.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # persist: the signature table feeds the banding below AND both sides of
+    # the estimate prefilter join — without it the whole normalize → shingle
+    # → sha256 → 64-affine-hash pipeline re-executes up to 4× per run. The
+    # cache is O(N·num_hashes·8) bytes (fixed-width, tiny next to the
+    # corpus), spilling to disk beyond executor memory.
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
     banded = sigs.select(
         "id",
         F.explode(
@@ -238,6 +245,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # persist: used for the bucket-size histogram AND both self-join sides
+    banded = banded.persist()
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("__bs"))
     banded = (
         banded.join(sizes, ["band", "bucket"])
@@ -269,10 +278,11 @@ def minhash_lsh_pairs(
         .filter(est >= F.lit(est_fraction * threshold))
         .select("id_a", "id_b")
     )
-    # exact verification of surviving candidates only
+    # exact verification of surviving candidates only. Persisted: the
+    # shingle arrays feed both sides of the verify join.
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    )
+    ).persist()
     va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -484,9 +494,12 @@ def simhash_pairs(
             for i in range(bands)
         ]
     )
+    # persist: both self-join sides read the fingerprints — without it the
+    # normalize → tokenize → sha256 → pandas-UDF bit-vote pipeline (the
+    # expensive part) executes twice. O(N·bands) fixed-width rows cached.
     blocked = fps.select(
         "id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk")
-    )
+    ).persist()
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -152,6 +152,11 @@ def cosine_pairs_blocked(
     # hoist norms once per vector (JVM-side, same summation order as the
     # exact path) and pack (id, vec, norm) per chunk, deterministically
     # sorted so downstream numpy work is order-stable
+    # persist: BOTH join sides below derive from this aggregate, and the
+    # pre-exchange projections differ, so without a persist the scan + pack
+    # (sort_array(collect_list)) executes twice per run — the dominant cost
+    # at small C. The cache is O(N·d·8) bytes total (the corpus itself,
+    # packed), spilling to disk if it doesn't fit executor memory.
     packed = (
         df.select(
             chk.alias("chk"),
@@ -163,15 +168,22 @@ def cosine_pairs_blocked(
         )
         .groupBy("chk")
         .agg(F.sort_array(F.collect_list("e")).alias("es"))
+        .persist()
     )
     spark = df.sparkSession
     # enumerate the C·(C+1)/2 (chk_a ≤ chk_b) pair KEYS distributed (two
     # int ranges — never a driver-side list), then resolve each side by
-    # broadcast-hash-joining the tiny key table against the packed chunks:
-    # the packed side is exchanged by chunk id, never broadcast
+    # hash-joining the key table against the packed chunks: the packed side
+    # is exchanged by chunk id, never broadcast. The key table is broadcast
+    # only while it is genuinely small — at C ~ 4e4 the C·(C+1)/2 rows are
+    # multi-GB, so past ~8M pairs it flows through a shuffled join too (no
+    # driver/broadcast ceiling on EITHER side).
     ra = spark.range(num_chunks).select(F.col("id").cast("int").alias("chk_a"))
     rb = spark.range(num_chunks).select(F.col("id").cast("int").alias("chk_b"))
     pair_keys = ra.join(rb, F.col("chk_a") <= F.col("chk_b"))
+    n_pairs = num_chunks * (num_chunks + 1) // 2
+    if n_pairs <= 8_000_000:
+        pair_keys = F.broadcast(pair_keys)
     pa = packed.select(F.col("chk").alias("chk_a"), F.col("es").alias("es_a"))
     pb = packed.select(F.col("chk").alias("chk_b"), F.col("es").alias("es_b"))
     # shuffle_hash hints pin the packed sides to a SHUFFLED hash join: the
@@ -179,11 +191,18 @@ def cosine_pairs_blocked(
     # the planner into broadcasting O(N·d) of packed vectors (the exact
     # ceiling this formulation removes)
     chunk_pairs = (
-        pa.join(F.broadcast(pair_keys), "chk_a")
+        pa.join(pair_keys, "chk_a")
         .hint("shuffle_hash")
         .join(pb.hint("shuffle_hash"), "chk_b")
-        .repartition(max(32, num_chunks))
     )
+    # the join output is hash-distributed on chk_b only (~C distinct keys);
+    # when C is small relative to the shuffle width, re-spread by the PAIR
+    # key so every core gets work — skipped once C alone saturates the
+    # cluster, because it reshuffles the packed payload (the largest
+    # intermediate) a second time for no balance gain
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if num_chunks < 2 * shuffle_parts:
+        chunk_pairs = chunk_pairs.repartition(shuffle_parts, "chk_a", "chk_b")
 
     out_schema = T.StructType(
         [

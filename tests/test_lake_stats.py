@@ -701,6 +701,51 @@ def test_stats_pruning_correct_under_non_utc_session_tz(spark, warehouse):
         spark.conf.set("spark.sql.session.timeZone", old_tz)
 
 
+def test_ntz_stats_prune_sound_in_dst_gap_non_utc_tz(spark, warehouse):
+    """NTZ (wall-clock) bounds must be encoded on a tz-FREE path: under a
+    non-UTC session tz, a wall-clock value inside the DST spring-forward gap
+    (02:30 on 2026-03-08 does not exist in America/New_York) would shift by
+    an hour through any session-tz cast — date_format's analyzer-inserted
+    NTZ→TIMESTAMP cast did exactly that. The fixed-width CAST-to-string
+    encoding keeps the stored fields verbatim, so boundary pruning on a
+    naive literal stays exact."""
+    import datetime as dt
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        schema = T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ])
+        t = LakeTable.create(spark, os.path.join(warehouse, "t"), schema,
+                             bucket_by="k", bucket_count=1)
+        # wall-clock values straddling the 02:00–03:00 spring-forward gap,
+        # with sub-second precision to exercise the fraction padding
+        rows = [
+            (f"k{i}", dt.datetime(2026, 3, 8, 1, 0) + i * dt.timedelta(minutes=15, milliseconds=250))
+            for i in range(16)
+        ]
+        t.append(spark.createDataFrame(rows, schema))
+        t.compact(sort_by=["ts"], target_files_per_bucket=4)
+
+        cut = dt.datetime(2026, 3, 8, 2, 30)  # inside the local DST gap
+        got = t.read(where=[("ts", ">=", cut)])
+        # ground truth computed wall-clock in Python: a naive F.lit against
+        # an NTZ column is exactly the session-tz-mediated comparison the
+        # typed residual filter exists to avoid, so it can't be the oracle
+        want_n = sum(1 for _, ts in rows if ts >= cut)
+        assert got.count() == want_n > 0
+        _scanned, skipped = t.plan_files(where=[("ts", ">=", cut)])
+        assert skipped, "no files pruned on NTZ bounds in DST gap"
+        # equality probe at an exact stored wall-clock with fraction
+        probe = rows[9][1]
+        got_eq = t.read(where=[("ts", "=", probe)])
+        assert got_eq.count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_bloom_filter_property_written_and_readable(spark, warehouse):
     """write.bloom.columns plumbs parquet bloom filters into every data
     file; verified via the parquet footer (bloom offset present), not just

@@ -74,6 +74,82 @@ def test_update_skips_tombstones(spark, warehouse):
     assert {(r.k, r.v) for r in t.read().collect()} == {("a", 101)}
 
 
+# ----------------------------------------------------------------- delete
+def test_delete_removes_matching_keeps_null(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1), ("b", 2), ("c", None)]))
+    sid, n = t.delete(F.col("v") >= 2)
+    assert n == 1
+    # SQL DELETE three-valued logic: condition-NULL rows are KEPT
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", 1), ("c", None)}
+    assert t.snapshot()["summary"]["rows_deleted"] == 1
+
+
+def test_delete_drops_fully_matching_file_without_rewrite(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1), ("b", 2)]))   # file 1: all v < 10
+    t.append(_df(spark, [("x", 11), ("y", 12)]))  # file 2: all v >= 10
+    _, n = t.delete(F.col("v") >= 10)
+    assert n == 2
+    s = t.snapshot()["summary"]
+    # every touched file matched in full → dropped outright, ZERO rewrites
+    assert s["files_dropped"] >= 1 and s["files_rewritten"] == 0
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", 1), ("b", 2)}
+
+
+def test_delete_noop_warns_and_commits_nothing(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1)]))
+    sid_before = t.snapshot_id
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sid, n = t.delete(F.col("k") == "missing")
+    assert n == 0 and sid == sid_before == t.snapshot_id
+    assert any("0 rows" in str(x.message) for x in w)
+
+
+def test_delete_preserves_tombstones_then_merge_lww(spark, warehouse):
+    """Deleting live rows must not scrub OTHER keys' tombstones: a late
+    lower-LSN resurrect of a tombstoned key still loses after the delete."""
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k", bucket_count=2
+    )
+    src = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    t.merge_cdc(
+        spark.createDataFrame([("a", 1, "i", 1), ("b", 2, "i", 2)], src),
+        key_cols=["k"],
+    )
+    t.merge_cdc(
+        spark.createDataFrame([("b", None, "d", 3)], src), key_cols=["k"]
+    )
+    # delete the live row "a"; the b-tombstone must survive the rewrite
+    _, n = t.delete(F.col("k") == "a")
+    assert n == 1
+    assert t.read().count() == 0
+    # late out-of-order resurrect of b (lsn 1 < tombstone lsn 3) must lose
+    t.merge_cdc(
+        spark.createDataFrame([("b", 99, "i", 1)], src), key_cols=["k"]
+    )
+    assert t.read().count() == 0
+
+
+def test_delete_where_hint_prunes_probe(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1), ("b", 2)]))
+    t.append(_df(spark, [("x", 100), ("y", 200)]))
+    files_before = {f.path for f in t.files()}
+    _, n = t.delete(F.col("v") > 150, where=[("v", ">", 150)])
+    assert n == 1
+    # the low-range file is stats-skipped: it carries forward untouched
+    assert any(p in {f.path for f in t.files()} for p in files_before)
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        ("a", 1), ("b", 2), ("x", 100)
+    }
+
+
 # --------------------------------------------------------- run state machine
 def test_run_state_machine(spark, warehouse):
     audit = AuditStore(spark, warehouse)

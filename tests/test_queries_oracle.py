@@ -24,7 +24,8 @@ SUBSET = [
     "exact_dedup",
     "jaccard_near_dups",
     "cosine_topk",
-    "token_counts",
+    "text_profile",
+    "lake_delete",
     "sha_fingerprints",
 ]
 

@@ -51,6 +51,9 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="bench_pruning_")
     try:
         # synthetic event rows with a monotone-ish ts column (epoch seconds)
+        # plus a random-order high-cardinality string column `u` for the
+        # bloom point-lookup leg (uncorrelated with the ts sort, so neither
+        # manifest stats nor row-group min/max can prune it — only blooms)
         df = (
             spark.range(args.rows)
             .select(
@@ -59,11 +62,13 @@ def main() -> None:
                 F.timestamp_seconds(
                     F.lit(1_700_000_000) + F.col("id")
                 ).alias("ts"),
+                F.format_string("u-%016x", F.xxhash64(F.col("id"))).alias("u"),
             )
         )
         t = LakeTable.create(
             spark, os.path.join(tmp, "t"), df.schema,
             bucket_by="k", bucket_count=args.buckets,
+            properties={"write.bloom.columns": ["u"]},
         )
         t.append(df)
         t.compact(sort_by=["ts"], target_files_per_bucket=args.files_per_bucket)
@@ -71,9 +76,16 @@ def main() -> None:
         import datetime
 
         cutoff_s = 1_700_000_000 + int(args.rows * (1 - args.tail_frac))
-        cutoff = datetime.datetime.utcfromtimestamp(cutoff_s)
+        # tz-AWARE cutoff: the pruner REFUSES to prune on a naive literal
+        # against an instant column (driver-OS-tz ambiguity), so a naive
+        # datetime here would silently measure 0 skipped files
+        cutoff = datetime.datetime.fromtimestamp(cutoff_s, tz=datetime.timezone.utc)
         where = [("ts", ">=", cutoff)]
         scanned, skipped = t.plan_files(where=where)
+        assert skipped, (
+            "stats pruning skipped 0 files — regression in manifest "
+            "min/max skipping or in the cutoff literal encoding"
+        )
 
         def timed(fn):
             best = []
@@ -88,6 +100,53 @@ def main() -> None:
             lambda: t.read().filter(F.col("ts") >= F.lit(cutoff)).count()
         )
         assert n1 == n2, (n1, n2)
+
+        # bloom point-lookup leg: equality probe on a random-order
+        # high-cardinality string column, bloom-sized table vs identical
+        # no-bloom control. Built with FEW, LARGE files: at small
+        # rows-per-file the column dictionary-encodes and parquet's
+        # dictionary filter already covers point lookups (bloom is then
+        # correctly skipped by the writer); the bloom tier exists for files
+        # big enough that the dictionary overflows to plain encoding —
+        # exactly the 100 TB row-group shape. Probing an ABSENT value is the
+        # pure skip measurement (every row group bloom-rejects).
+        bloom_rows = max(4 * args.rows, 8_000_000)
+        bdf = (
+            spark.range(bloom_rows)
+            .select(
+                F.format_string("k-%012d", F.col("id") % 64).alias("k"),
+                F.col("id").alias("v"),
+                F.format_string("u-%016x", F.xxhash64(F.col("id"))).alias("u"),
+            )
+        )
+        rows_per_file = bloom_rows // 2
+        tb = LakeTable.create(
+            spark, os.path.join(tmp, "tb"), bdf.schema,
+            bucket_by="k", bucket_count=2,
+            properties={"write.bloom.columns": ["u"],
+                        "write.bloom.ndv": rows_per_file},
+        )
+        tb.append(bdf)
+        tb.compact(target_files_per_bucket=1)
+        tc = LakeTable.create(
+            spark, os.path.join(tmp, "tc"), bdf.schema,
+            bucket_by="k", bucket_count=2,
+        )
+        tc.append(bdf)
+        tc.compact(target_files_per_bucket=1)
+        # absent-but-IN-RANGE probe: a mid-distribution hex value that
+        # min/max page stats cannot exclude (a probe outside the hex
+        # alphabet, e.g. "u-zzz…", is skipped by plain stats in BOTH tables
+        # and shows nothing); collision odds vs 2^64-space hashes ≈ 0
+        probe = "u-7777777777777777"
+        bloom_s, nb = timed(
+            lambda: tb.read().filter(F.col("u") == probe).count()
+        )
+        nobloom_s, nnb = timed(
+            lambda: tc.read().filter(F.col("u") == probe).count()
+        )
+        assert nb == nnb == 0, (nb, nnb)
+
         print(json.dumps({
             "rows": args.rows,
             "tail_rows": n1,
@@ -97,6 +156,9 @@ def main() -> None:
             "pruned_sec": round(pruned_s, 3),
             "unpruned_sec": round(unpruned_s, 3),
             "speedup": round(unpruned_s / pruned_s, 2) if pruned_s > 0 else None,
+            "bloom_lookup_sec": round(bloom_s, 3),
+            "nobloom_lookup_sec": round(nobloom_s, 3),
+            "bloom_speedup": round(nobloom_s / bloom_s, 2) if bloom_s > 0 else None,
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
