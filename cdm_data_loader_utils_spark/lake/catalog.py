@@ -127,9 +127,11 @@ class Catalog:
         (``parsers/gene_association_file.py:225-242``).
 
         Views pin the CURRENT snapshot's file list (see
-        :meth:`LakeTable.as_sql`); call again after commits to refresh.
-        Returns ``name → view identifier``. Names whose path holds no table
-        yet are skipped."""
+        :meth:`LakeTable.as_sql`). A view auto-refreshes after commits made
+        through the SAME table handle (``LakeTable.to_view`` live-view
+        contract); commits from other handles or processes are picked up by
+        calling :meth:`refresh_views`. Returns ``name → view identifier``.
+        Names whose path holds no table yet are skipped."""
         out: dict[str, str] = {}
         wanted = self.tables() if names is None else {
             n: self.resolve(n) for n in names
@@ -140,6 +142,12 @@ class Catalog:
             t = LakeTable.load(self.spark, path)
             out[name] = t.to_view(name)
         return out
+
+    def refresh_views(self, names: list[str] | None = None) -> dict[str, str]:
+        """Re-point every registered SQL view at each table's CURRENT
+        snapshot — the cross-process staleness escape hatch (same-handle
+        commits already auto-refresh their live views)."""
+        return self.register_views(names)
 
     def drop(self, name: str, purge: bool = False) -> None:
         dropped: list[str] = []

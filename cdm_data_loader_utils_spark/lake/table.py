@@ -547,11 +547,30 @@ class LakeTable:
     def _commit(self, snap: dict) -> int:
         """Atomic create-exclusive commit — optimistic concurrency control."""
         try:
-            return self._log.write_exclusive(snap["snapshot_id"], snap)
+            sid = self._log.write_exclusive(snap["snapshot_id"], snap)
         except FileExistsError as e:
             raise CommitConflictError(
                 f"snapshot {snap['snapshot_id']} already committed"
             ) from e
+        self._refresh_live_views()
+        return sid
+
+    def _refresh_live_views(self) -> None:
+        """Re-register every live (non-pinned) SQL view created through THIS
+        table handle after a successful commit, so ``spark.sql`` users never
+        read a stale file list. Commits from OTHER writers/processes still
+        need :meth:`to_view` / :meth:`Catalog.register_views` re-run. A
+        refresh failure must not fail the already-durable commit — it warns."""
+        import warnings
+
+        for name in list(getattr(self, "_live_views", ())):
+            try:
+                self._register_view(name, None)
+            except Exception as e:  # noqa: BLE001 — commit is already durable
+                warnings.warn(
+                    f"auto-refresh of SQL view {name!r} failed: {e}",
+                    stacklevel=2,
+                )
 
     # ------------------------------------------------------------ manifests
     def _write_manifest(self, entries: list[FileEntry]) -> str:
@@ -694,10 +713,11 @@ class LakeTable:
         ``core/spark_delta.py:160-175``).
 
         The file list is pinned at generation time (a VIEW stores text, not a
-        live log pointer) — re-run :meth:`to_view` /
-        :meth:`Catalog.register_views` after commits to refresh, and keep
-        ``expire_snapshots`` grace ≥ the refresh cadence so a pinned view
-        never loses files mid-query."""
+        live log pointer). Views registered via :meth:`to_view` on THIS
+        table object auto-refresh after every commit; for other writers'
+        commits re-run :meth:`to_view` / :meth:`Catalog.register_views`, and
+        keep ``expire_snapshots`` grace ≥ the refresh cadence so a pinned
+        view never loses files mid-query."""
         snap = self.snapshot(snapshot_id)
         cur = self.schema(snap)
         out_fields = [
@@ -707,10 +727,32 @@ class LakeTable:
         def q(ident: str) -> str:
             return "`" + ident.replace("`", "``") + "`"
 
-        def file_ref(path: str) -> str:
-            if "`" in path:
-                raise ValueError(f"cannot SQL-quote path containing backtick: {path}")
-            return f"parquet.`{path}`"
+        _GLOB_CHARS = set("{}[]*?,\\`")
+
+        def files_ref(paths: list[str]) -> str:
+            # ONE scan node per schema group: Spark resolves `parquet.`p``
+            # through Hadoop path globbing, so an alternation brace covers
+            # the whole group's file list in a single multi-path scan —
+            # O(schema groups) plan nodes instead of one UNION ALL branch
+            # per file. Still O(files) characters (pure SQL text cannot
+            # reference a manifest), but the PLAN no longer degrades.
+            for p in paths:
+                bad = _GLOB_CHARS & set(p)
+                if bad:
+                    raise ValueError(
+                        f"cannot glob-quote path containing {sorted(bad)}: {p}"
+                    )
+            if len(paths) == 1:
+                return f"parquet.`{paths[0]}`"
+            # brace alternation needs a common literal prefix to stay a
+            # valid single path: use the table root (always shared)
+            root = self.path.rstrip("/") + "/"
+            rels = []
+            for p in paths:
+                if not p.startswith(root):
+                    raise ValueError(f"file {p!r} outside table root {root!r}")
+                rels.append(p[len(root):])
+            return f"parquet.`{root}{{{','.join(sorted(rels))}}}`"
 
         groups: dict[int, list[str]] = {}
         for fe in self.files(snap):
@@ -733,7 +775,7 @@ class LakeTable:
                 )
                 for f in proj_fields
             )
-            selects.extend(f"SELECT {cols} FROM {file_ref(p)}" for p in paths)
+            selects.append(f"SELECT {cols} FROM {files_ref(paths)}")
         if not selects:
             cols = ", ".join(
                 f"CAST(NULL AS {f.dataType.simpleString()}) AS {q(f.name)}"
@@ -752,7 +794,21 @@ class LakeTable:
     def to_view(self, view_name: str, snapshot_id: int | None = None) -> str:
         """Register this table (optionally a time-travel snapshot) as a SQL
         view: ``db.name`` creates the database in the session catalog. Returns
-        the view identifier ready for ``spark.sql(f"SELECT … FROM {ident}")``."""
+        the view identifier ready for ``spark.sql(f"SELECT … FROM {ident}")``.
+
+        A view registered WITHOUT an explicit ``snapshot_id`` is LIVE for
+        this table handle: every subsequent successful commit through this
+        object re-registers it, so ``spark.sql`` reads never go stale
+        (snapshot-pinned views stay pinned — that is their point)."""
+        ident = self._register_view(view_name, snapshot_id)
+        if snapshot_id is None:
+            live = getattr(self, "_live_views", None)
+            if live is None:
+                live = self._live_views = set()
+            live.add(view_name)
+        return ident
+
+    def _register_view(self, view_name: str, snapshot_id: int | None) -> str:
         parts = view_name.split(".")
         if len(parts) > 2:
             parts = ["_".join(parts[:-1]), parts[-1]]

@@ -255,13 +255,21 @@ def stream_events(
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
     salt_buckets: int = 32,
-) -> None:
+    trigger: str | None = None,
+    timeout_sec: float | None = None,
+):
     """Structured-Streaming tail over a directory of change-event parquet
-    files, ``Trigger.AvailableNow`` (replay-to-current then stop).
+    files. Default trigger is ``Trigger.AvailableNow`` (replay-to-current
+    then stop — the batch-replay parity mode); pass
+    ``trigger="5 seconds"`` for a genuinely LIVE processing-time tail that
+    keeps polling ``events_dir`` for new files. A live tail never
+    terminates on its own: it returns the running ``StreamingQuery`` when
+    ``timeout_sec`` is None, else stops cleanly after the timeout.
 
     The streaming checkpoint gives at-least-once micro-batches across
     restarts; :func:`apply_batch`'s snapshot-log fencing upgrades that to
-    exactly-once table commits (SURVEY §7.2 hard part 1).
+    exactly-once table commits (SURVEY §7.2 hard part 1) — identically in
+    both trigger modes.
     """
     from ..schemas import CHANGE_EVENT_SCHEMA
 
@@ -274,10 +282,20 @@ def stream_events(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         apply_batch(batch_df, table, audit, run_id, int(batch_id), salt_buckets)
 
-    q = (
+    writer = (
         stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", os.path.join(checkpoint_dir, run_id))
-        .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    if trigger is None:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    q = writer.trigger(processingTime=trigger).start()
+    if timeout_sec is None:
+        return q
+    try:
+        q.awaitTermination(timeout=timeout_sec)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return None

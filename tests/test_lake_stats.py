@@ -234,6 +234,49 @@ def test_to_view_time_travel_and_tombstones(spark, warehouse):
     assert spark.sql(f"SELECT count(*) AS n FROM {old}").collect()[0].n == 4
 
 
+def test_live_view_auto_refreshes_on_commit(spark, warehouse):
+    """A view registered without a pinned snapshot follows THIS handle's
+    commits — append, update, delete — with no manual re-register."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(10)))
+    ident = t.to_view("live.msgs")
+    n = lambda: spark.sql(f"SELECT count(*) AS n FROM {ident}").collect()[0].n
+    assert n() == 10
+    t.append(_df(spark, _rows(5, base_day=9)))
+    assert n() == 15, "live view must pick up the append without re-register"
+    t.delete(F.col("v") < 3)  # v<3 matches 3 rows in EACH of the two waves
+    assert n() == 9
+    # a PINNED view must stay pinned through later commits
+    pinned_sid = t.snapshot_id
+    pinned = t.to_view("live.pinned", snapshot_id=pinned_sid)
+    t.append(_df(spark, _rows(4, base_day=11)))
+    assert n() == 13
+    assert spark.sql(f"SELECT count(*) AS n FROM {pinned}").collect()[0].n == 9
+
+
+def test_as_sql_one_scan_per_schema_group(spark, warehouse):
+    """View text holds ONE multi-path scan per schema group (brace glob),
+    not one UNION ALL branch per file — and still reads correctly across an
+    evolved schema boundary."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(8)))
+    t.append(_df(spark, _rows(4, base_day=9)))  # same schema, more files
+    wide = T.StructType(list(SCHEMA.fields) + [T.StructField("w", T.IntegerType())])
+    t.append(spark.createDataFrame(
+        [("x1", 1, datetime.datetime(2026, 3, 1), 7)], wide))
+    sql = t.as_sql()
+    n_files = len(t.files())
+    assert n_files > 2
+    # exactly 2 schema groups → at most 1 UNION ALL in the text
+    assert sql.count("UNION ALL") == 1
+    assert sql.count("parquet.") == 2
+    got = spark.sql(sql)
+    assert got.count() == 13
+    assert got.filter(F.col("w").isNotNull()).count() == 1
+
+
 def test_view_of_empty_table(spark, warehouse):
     t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
     ident = t.to_view("tt.empty")

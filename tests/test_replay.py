@@ -198,3 +198,43 @@ def test_structured_streaming_availablenow(spark, warehouse):
     )
     assert table.snapshot_id == sid
     _check_final(table, events)
+
+
+def test_structured_streaming_processing_time_live_tail(spark, warehouse):
+    """Processing-time trigger: the stream keeps polling for NEW files —
+    events landed after start are applied without a restart, and the query
+    stops cleanly."""
+    import time as _t
+
+    events = _events(spark)
+    first = events.filter(F.col("batch_id") == 0)
+    rest = events.filter(F.col("batch_id") > 0)
+    events_dir = os.path.join(warehouse, "events_in")
+    first.repartition(2).write.parquet(events_dir)
+    table = _mk_table(spark, warehouse)
+    audit = AuditStore(spark, os.path.join(warehouse, "audit"))
+    q = stream_events(
+        spark, events_dir, table, audit, "run-live",
+        checkpoint_dir=os.path.join(warehouse, "ckpt"),
+        max_files_per_trigger=64,
+        trigger="1 seconds",
+    )
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline and table.read().count() == 0:
+            _t.sleep(0.5)
+        assert table.read().count() > 0, "first wave never applied"
+        # live tail: drop more files while the query runs
+        rest.repartition(2).write.mode("append").parquet(events_dir)
+        exp = expected_final_state(events)
+        while _t.time() < deadline:
+            got = table.read()
+            if got.count() == exp.count() and \
+               got.exceptAll(exp.select(*got.columns)).count() == 0:
+                break
+            _t.sleep(0.5)
+        _check_final(table, events)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert not q.isActive
