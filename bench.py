@@ -122,11 +122,16 @@ def main() -> None:
     # BENCH_ONLY_REPLAY=1 → scaling-efficiency mode: skip the query suite so
     # each measured leg is exactly the replay job (tools/bench_scaling.py)
     only_replay = os.environ.get("BENCH_ONLY_REPLAY", "") == "1"
+    from cdm_data_loader_utils_spark.operators.cache import release
+
     for name in [] if only_replay else BENCH_QUERIES:
         t0 = time.perf_counter()
         df = qmap[name](spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # reclaim operator-internal caches so successive queries don't
+        # accumulate storage-pool pressure across the suite
+        release(df)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     replay_sec, replay_events = bench_replay_throughput(spark, REPLAY_EVENTS)

@@ -138,6 +138,11 @@ _STATS_DEFAULT_TYPES = (
 # lower bound; a truncated MAX is NOT a valid upper bound, so it is dropped
 # (unbounded above) — same safe-truncation rule as Iceberg's.
 _STATS_STR_PREFIX = 64
+# Stats format version, stored inside each file's stats dict under this key.
+# v2 = NTZ bounds encoded on the tz-free fixed-width path; v1 (no marker)
+# NTZ bounds may be session-tz-shifted and are never used for pruning.
+_STATS_VERSION_KEY = "__v"
+_STATS_VERSION = 2
 
 
 def _stats_columns(schema: T.StructType, properties: dict | None) -> list[T.StructField]:
@@ -188,7 +193,7 @@ def _stat_bound_expr(f: T.StructField, agg) -> F.Column:
         # fixed-width literal encoding in _encode_pred_value (a trimmed
         # ".5" vs a padded ".500000" would break equality boundaries).
         s = c.cast("string")
-        return F.concat(
+        enc = F.concat(
             F.substring(s, 1, 19),
             F.lit("."),
             F.rpad(
@@ -197,6 +202,13 @@ def _stat_bound_expr(f: T.StructField, agg) -> F.Column:
                 6, "0",
             ),
         )
+        # the fixed-width encoding is order-isomorphic ONLY for 4-digit
+        # years: Spark renders year 10000 as '+10000-…' (sorts BELOW '2…')
+        # and year -1 as '-0001-…' (negative years sort reversed), so an
+        # out-of-range value would produce a CORRUPT bound and an unsound
+        # skip. Emit NULL (= unbounded on that side) instead — the file is
+        # then never skipped on this column, which is always safe.
+        return F.when(F.year(c).between(1, 9999), enc)
     if isinstance(f.dataType, T.DateType):
         return F.unix_date(c)
     if isinstance(f.dataType, T.StringType):
@@ -285,7 +297,17 @@ def _file_skippable(
 
     for col, op, value in where:
         b = stats.get(col)
-        if b is None:
+        if b is None or col == _STATS_VERSION_KEY:
+            continue
+        # NTZ bounds from stats format v1 were written through date_format's
+        # session-tz cast (potentially shifted inside a DST gap) and are
+        # byte-identical to sound v2 bounds — they must never prune. The
+        # version marker makes the old bounds detectable.
+        if (
+            types is not None
+            and isinstance(types.get(col), T.TimestampNTZType)
+            and int(stats.get(_STATS_VERSION_KEY, 1)) < 2
+        ):
             continue
         lo, hi = b[0], b[1]  # encoded; None = unbounded
         # a cross-type literal (e.g. "5" against int stats) must fall back
@@ -727,39 +749,60 @@ class LakeTable:
         def q(ident: str) -> str:
             return "`" + ident.replace("`", "``") + "`"
 
+        # chars Hadoop globbing treats specially inside a brace alternation
+        # (plus backtick, which SQL path quoting cannot escape)
         _GLOB_CHARS = set("{}[]*?,\\`")
 
-        def files_ref(paths: list[str]) -> str:
-            # ONE scan node per schema group: Spark resolves `parquet.`p``
-            # through Hadoop path globbing, so an alternation brace covers
-            # the whole group's file list in a single multi-path scan —
-            # O(schema groups) plan nodes instead of one UNION ALL branch
-            # per file. Still O(files) characters (pure SQL text cannot
-            # reference a manifest), but the PLAN no longer degrades.
-            for p in paths:
-                bad = _GLOB_CHARS & set(p)
-                if bad:
-                    raise ValueError(
-                        f"cannot glob-quote path containing {sorted(bad)}: {p}"
-                    )
-            if len(paths) == 1:
-                return f"parquet.`{paths[0]}`"
-            # brace alternation needs a common literal prefix to stay a
-            # valid single path: use the table root (always shared)
-            root = self.path.rstrip("/") + "/"
-            rels = []
-            for p in paths:
-                if not p.startswith(root):
-                    raise ValueError(f"file {p!r} outside table root {root!r}")
-                rels.append(p[len(root):])
-            return f"parquet.`{root}{{{','.join(sorted(rels))}}}`"
+        def group_refs(paths: list[str], rows: int) -> tuple[list[str], str | None]:
+            """(scan refs, completeness guard) for one schema group.
 
-        groups: dict[int, list[str]] = {}
+            Preferred form is ONE scan node per group: Spark resolves
+            ``parquet.`p``` through Hadoop path globbing, so a brace
+            alternation covers the whole group's file list in a single
+            multi-path scan — O(schema groups) plan nodes instead of one
+            UNION ALL branch per file. Still O(files) characters (pure SQL
+            text cannot reference a manifest), but the PLAN no longer
+            degrades.
+
+            A brace glob matching only a SUBSET of its members succeeds
+            silently (a per-file ref fails loudly at analysis), so the glob
+            form carries a runtime completeness guard: a scalar subquery
+            asserting the group's physical row count matches the manifest.
+            count(*) over parquet materializes no columns — near-metadata
+            cost. Paths containing glob metacharacters fall back to loud
+            per-file refs (no guard needed)."""
+            if len(paths) == 1:
+                return [f"parquet.`{paths[0]}`"], None
+            root = self.path.rstrip("/") + "/"
+            globbable = all(
+                not (_GLOB_CHARS & set(p)) and p.startswith(root) for p in paths
+            )
+            if not globbable:
+                return [f"parquet.`{p}`" for p in paths], None
+            if rows < 0:
+                # legacy manifest entries without row counts: the guard
+                # cannot be computed — use loud per-file refs instead
+                return [f"parquet.`{p}`" for p in paths], None
+            rels = sorted(p[len(root):] for p in paths)
+            ref = f"parquet.`{root}{{{','.join(rels)}}}`"
+            guard = (
+                f"(SELECT assert_true(count(*) = {rows}, "
+                f"'lake view is stale: expected {rows} rows across "
+                f"{len(paths)} files — a pinned file is missing or "
+                f"truncated; re-register the view') FROM {ref}) IS NULL"
+            )
+            return [ref], guard
+
+        groups: dict[int, list[tuple[str, int]]] = {}
         for fe in self.files(snap):
-            groups.setdefault(fe.schema_id, []).append(self.fs.join(self.path, fe.path))
+            groups.setdefault(fe.schema_id, []).append(
+                (self.fs.join(self.path, fe.path), fe.rows)
+            )
         has_del = META_DELETED in [f.name for f in cur.fields]
         selects: list[str] = []
-        for sid, paths in groups.items():
+        for sid, entries in groups.items():
+            paths = [p for p, _ in entries]
+            rows = -1 if any(r < 0 for _, r in entries) else sum(r for _, r in entries)
             fschema = _schema_from_json(snap["schemas"][str(sid)])
             have = {f.name for f in fschema.fields}
             proj_fields = list(out_fields)
@@ -775,7 +818,9 @@ class LakeTable:
                 )
                 for f in proj_fields
             )
-            selects.append(f"SELECT {cols} FROM {files_ref(paths)}")
+            refs, guard = group_refs(paths, rows)
+            where = f" WHERE {guard}" if guard else ""
+            selects.extend(f"SELECT {cols} FROM {ref}{where}" for ref in refs)
         if not selects:
             cols = ", ".join(
                 f"CAST(NULL AS {f.dataType.simpleString()}) AS {q(f.name)}"
@@ -988,6 +1033,8 @@ class LakeTable:
                     if mx is not None and len(mx) > _STATS_STR_PREFIX:
                         mx = None
                 stats[f.name] = [mn, mx]  # already encoded JVM-side
+            if stats:
+                stats[_STATS_VERSION_KEY] = _STATS_VERSION
             entries.append(
                 FileEntry(rel, _bucket_from_rel(rel), schema_id,
                           int(r["__rows"]), stats or None)
@@ -1180,20 +1227,14 @@ class LakeTable:
                                       fence_key, where)
         )
 
-    def _update_once(
-        self,
-        condition: F.Column,
-        set_values: dict[str, F.Column],
-        summary: dict | None,
-        fence_key: str | None,
-        where: list[tuple] | None = None,
-    ) -> tuple[int, int]:
-        import warnings
-
+    def _row_op_context(
+        self, condition: F.Column, where: list[tuple] | None
+    ) -> tuple[dict, list[FileEntry], T.StructType, F.Column]:
+        """Shared UPDATE/DELETE prologue: current snapshot, stats-pruned
+        candidate files (the ``where`` hint drops files whose min/max
+        provably exclude it BEFORE any probe scan), and the tombstone-aware
+        live condition (a tombstoned key never matches a row-level op)."""
         snap = self.snapshot()
-        fenced = self._fence_hit(snap, fence_key)
-        if fenced is not None:
-            return fenced, 0
         existing = self.files(snap)
         if where:
             types = {f.name: f.dataType for f in self.schema(snap).fields}
@@ -1204,17 +1245,40 @@ class LakeTable:
             ]
             condition = condition & _where_to_column(where, types)
         schema = self.schema(snap)
-        has_del = META_DELETED in [f.name for f in schema.fields]
         live_cond = condition
-        if has_del:
+        if META_DELETED in [f.name for f in schema.fields]:
             live_cond = condition & ~F.coalesce(F.col(META_DELETED), F.lit(False))
-        rows_updated = 0
-        hit: set[str] = set()
+        return snap, existing, schema, live_cond
+
+    def _probe_hits(
+        self, snap: dict, existing: list[FileEntry], live_cond: F.Column
+    ) -> dict[str, int]:
+        """rel-path → count of live rows matching, for files that match at
+        all — ONE executor-side probe job over the candidate files."""
+        hits: dict[str, int] = {}
         if existing:
             probe = self._read_files(snap, existing, with_file_col=True)
             for r in probe.filter(live_cond).groupBy("__file").count().collect():
-                hit.add(self._uri_to_rel(r[0]))
-                rows_updated += int(r[1])
+                hits[self._uri_to_rel(r[0])] = int(r[1])
+        return hits
+
+    def _update_once(
+        self,
+        condition: F.Column,
+        set_values: dict[str, F.Column],
+        summary: dict | None,
+        fence_key: str | None,
+        where: list[tuple] | None = None,
+    ) -> tuple[int, int]:
+        import warnings
+
+        snap, existing, schema, live_cond = self._row_op_context(condition, where)
+        fenced = self._fence_hit(snap, fence_key)
+        if fenced is not None:
+            return fenced, 0
+        hits = self._probe_hits(snap, existing, live_cond)
+        hit = set(hits)
+        rows_updated = sum(hits.values())
         if rows_updated == 0:
             warnings.warn(
                 f"update matched 0 rows at {self.path}; no snapshot committed",
@@ -1242,6 +1306,9 @@ class LakeTable:
         nxt = self._next_snap(snap, "update", manifests, summary, fence_key)
         nxt["summary"].setdefault("rows_updated", rows_updated)
         nxt["summary"].setdefault("files_rewritten", len(affected))
+        # candidate files AFTER stats pruning — the observable proof that a
+        # `where` hint actually narrowed the probe
+        nxt["summary"].setdefault("files_probed", len(existing))
         return self._commit(nxt), rows_updated
 
     # --------------------------------------------------------------- delete
@@ -1284,31 +1351,12 @@ class LakeTable:
     ) -> tuple[int, int]:
         import warnings
 
-        snap = self.snapshot()
+        snap, existing, schema, live_cond = self._row_op_context(condition, where)
         fenced = self._fence_hit(snap, fence_key)
         if fenced is not None:
             return fenced, 0
-        existing = self.files(snap)
-        if where:
-            types = {f.name: f.dataType for f in self.schema(snap).fields}
-            tz = self._session_tz()
-            existing = [
-                fe for fe in existing
-                if not _file_skippable(fe.stats, where, types, tz)
-            ]
-            condition = condition & _where_to_column(where, types)
-        schema = self.schema(snap)
-        has_del = META_DELETED in [f.name for f in schema.fields]
-        live_cond = condition
-        if has_del:
-            live_cond = condition & ~F.coalesce(F.col(META_DELETED), F.lit(False))
-        rows_deleted = 0
-        hit_counts: dict[str, int] = {}
-        if existing:
-            probe = self._read_files(snap, existing, with_file_col=True)
-            for r in probe.filter(live_cond).groupBy("__file").count().collect():
-                hit_counts[self._uri_to_rel(r[0])] = int(r[1])
-                rows_deleted += int(r[1])
+        hit_counts = self._probe_hits(snap, existing, live_cond)
+        rows_deleted = sum(hit_counts.values())
         if rows_deleted == 0:
             warnings.warn(
                 f"delete matched 0 rows at {self.path}; no snapshot committed",
@@ -1334,6 +1382,7 @@ class LakeTable:
         nxt["summary"].setdefault("rows_deleted", rows_deleted)
         nxt["summary"].setdefault("files_rewritten", len(rewrite))
         nxt["summary"].setdefault("files_dropped", len(dropped))
+        nxt["summary"].setdefault("files_probed", len(existing))
         return self._commit(nxt), rows_deleted
 
     # ---------------------------------------------------------------- merge

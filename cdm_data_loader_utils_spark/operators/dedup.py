@@ -155,10 +155,13 @@ def jaccard_pairs(
         .agg(F.count("*").alias("common"))
     )
     jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
-    return (
+    from .cache import track
+
+    return track(
         inter.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        ex,
     )
 
 
@@ -298,7 +301,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+    from .cache import track
+
+    return track(verified, sigs, banded, sh)
 
 
 def connected_components(
@@ -502,7 +507,9 @@ def simhash_pairs(
     ).persist()
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    from .cache import track
+
+    return track(
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -515,5 +522,6 @@ def simhash_pairs(
             ham.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= max_hamming),
+        blocked,
     )

@@ -294,7 +294,9 @@ def cosine_pairs_blocked(
                 )
             )
 
-    return chunk_pairs.mapInPandas(_matmul, out_schema)
+    from .cache import track
+
+    return track(chunk_pairs.mapInPandas(_matmul, out_schema), packed)
 
 
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:

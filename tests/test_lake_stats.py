@@ -271,10 +271,72 @@ def test_as_sql_one_scan_per_schema_group(spark, warehouse):
     assert n_files > 2
     # exactly 2 schema groups → at most 1 UNION ALL in the text
     assert sql.count("UNION ALL") == 1
-    assert sql.count("parquet.") == 2
+    # the multi-file group collapses to ONE brace-glob scan + its
+    # completeness guard (which re-references the same glob)
+    assert "{" in sql and "assert_true" in sql
     got = spark.sql(sql)
     assert got.count() == 13
     assert got.filter(F.col("w").isNotNull()).count() == 1
+
+
+def test_view_missing_file_fails_loudly_not_partially(spark, warehouse):
+    """A multi-file glob silently matches a SUBSET when a pinned file
+    disappears — the completeness guard must turn that into a loud error
+    (silent partial results are the one unacceptable outcome)."""
+    import glob as _glob
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(8)))
+    ident = t.to_view("guard.msgs")
+    assert spark.sql(f"SELECT count(*) AS n FROM {ident}").collect()[0].n == 8
+    victim = sorted(_glob.glob(
+        os.path.join(warehouse, "t", "data", "**", "*.parquet"), recursive=True
+    ))[0]
+    os.remove(victim)
+    with pytest.raises(Exception, match="stale|assert|exist"):
+        spark.sql(f"SELECT count(*) AS n FROM {ident}").collect()
+
+
+def test_ntz_stats_out_of_range_year_never_prunes_unsoundly(spark, warehouse):
+    """Spark renders NTZ year 10000 as '+10000-…' which would sort BELOW
+    '2026-…' in the fixed-width encoding — such bounds must become NULL
+    (unbounded), so the file still matches normal-year predicates."""
+    import datetime as dt
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=1)
+    # Python datetime caps at year 9999 — build the out-of-range wall clock
+    # JVM-side (Spark NTZ reaches year ~294k)
+    far = spark.sql(
+        "SELECT 'far' AS k, 1 AS v, "
+        "TIMESTAMP_NTZ '10000-01-01 00:00:00' AS ts"
+    )
+    t.append(far.select(
+        F.col("k").cast("string"), F.col("v").cast("int"), F.col("ts")))
+    fe = t.files()[0]
+    # both bounds NULL → the writer drops the column from stats entirely
+    # (no stats = the pruner can never skip this file on ts)
+    assert fe.stats is None or "ts" not in fe.stats, fe.stats
+    got = t.read(where=[("ts", ">=", dt.datetime(2026, 1, 1))])
+    assert got.count() == 1  # never skipped
+    _scanned, skipped = t.plan_files(where=[("ts", ">=", dt.datetime(2026, 1, 1))])
+    assert skipped == []
+
+
+def test_stats_v1_ntz_bounds_never_prune(spark, warehouse):
+    """Bounds written by the pre-fix (v1) encoder are byte-indistinguishable
+    from sound v2 bounds; the version marker must force NTZ predicates to
+    fall back to the residual filter on v1 stats."""
+    from cdm_data_loader_utils_spark.lake.table import _file_skippable
+
+    types = {"ts": T.TimestampNTZType()}
+    import datetime as dt
+    pred = [("ts", ">=", dt.datetime(2026, 6, 1))]
+    v1 = {"ts": ["2026-01-01 00:00:00.000000", "2026-02-01 00:00:00.000000"]}
+    v2 = dict(v1, __v=2)
+    assert _file_skippable(v2, pred, types, "UTC") is True
+    assert _file_skippable(v1, pred, types, "UTC") is False
 
 
 def test_view_of_empty_table(spark, warehouse):

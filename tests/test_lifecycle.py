@@ -138,13 +138,16 @@ def test_delete_preserves_tombstones_then_merge_lww(spark, warehouse):
 
 def test_delete_where_hint_prunes_probe(spark, warehouse):
     t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
-    t.append(_df(spark, [("a", 1), ("b", 2)]))
-    t.append(_df(spark, [("x", 100), ("y", 200)]))
-    files_before = {f.path for f in t.files()}
+    t.append(_df(spark, [("a", 1), ("b", 2)]).coalesce(1))
+    t.append(_df(spark, [("x", 100), ("y", 200)]).coalesce(1))
+    n_files = len(t.files())
     _, n = t.delete(F.col("v") > 150, where=[("v", ">", 150)])
     assert n == 1
-    # the low-range file is stats-skipped: it carries forward untouched
-    assert any(p in {f.path for f in t.files()} for p in files_before)
+    # the hint must have NARROWED the probe: only the high-range file's
+    # stats admit v > 150, so fewer candidates than live files were probed
+    probed = t.snapshot()["summary"]["files_probed"]
+    assert probed < n_files, (probed, n_files)
+    assert probed == 1
     assert {(r.k, r.v) for r in t.read().collect()} == {
         ("a", 1), ("b", 2), ("x", 100)
     }

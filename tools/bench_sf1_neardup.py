@@ -104,19 +104,27 @@ def main() -> None:
     runs = {
         "minhash_lsh_near_dups": lambda: D.minhash_lsh_pairs(
             docs, n=1, num_hashes=64, bands=16, threshold=0.6
-        ).count(),
+        ),
         "simhash_near_dups": lambda: D.simhash_pairs(
             docs, max_hamming=3, bands=4
-        ).count(),
+        ),
         "embedding_neardup_blocked": lambda: S.cosine_pairs_blocked(
             emb, threshold=0.4
-        ).count(),
+        ),
     }
+    try:
+        from cdm_data_loader_utils_spark.operators.cache import release
+    except ImportError:  # older checkouts in the interleave lack the helper
+        def release(_df):
+            return 0
+
     times, rows = {}, {}
     for name, fn in runs.items():
         t0 = time.perf_counter()
-        rows[name] = fn()
+        df = fn()
+        rows[name] = df.count()
         times[name] = round(time.perf_counter() - t0, 3)
+        release(df)
     print(json.dumps({
         "label": args.label or args.repo, "sf": 1.0,
         "docs": docs.count(), "embeddings": emb.count(),
