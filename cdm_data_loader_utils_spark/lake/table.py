@@ -946,25 +946,38 @@ class LakeTable:
         # OPTIMIZE ZORDER BY, core/spark_delta.py:144-150)
         sort_by: list[str] = list(props.get("write.sort_by") or [])
         sort_by = [c for c in sort_by if c in df.columns]
+        sort_exprs: list[F.Column] = [F.col(c) for c in sort_by]
+        zcols = list(props.get("write.zorder.by") or [])
+        if zcols and all(c in df.columns for c in zcols):
+            from .zorder import ZORDER_BITS, zorder_expr
+
+            # the z-key is a pure expression over persisted bounds — never a
+            # stored column; every write (append, merge rewrite, compaction)
+            # clusters by it so the multi-dim locality survives new commits
+            sort_exprs = [zorder_expr(
+                df.schema,
+                {c: props["write.zorder.bounds"][c] for c in zcols},
+                int(props.get("write.zorder.bits") or ZORDER_BITS),
+            )]
         if bucket is not None:
             # shuffle by bucket first so each task owns whole buckets —
             # otherwise partitionBy writes (tasks × buckets) tiny files and
             # the per-file metadata cost dominates the commit
             n_out = n_partitions or int(snap.get("bucket_count") or 16)
             dfb = df.withColumn(_BUCKET_COL, bucket)
-            if sort_by:
+            if sort_exprs:
                 dfb = dfb.repartitionByRange(
-                    n_out, F.col(_BUCKET_COL), *[F.col(c) for c in sort_by]
-                ).sortWithinPartitions(_BUCKET_COL, *sort_by)
+                    n_out, F.col(_BUCKET_COL), *sort_exprs
+                ).sortWithinPartitions(F.col(_BUCKET_COL), *sort_exprs)
             else:
                 dfb = dfb.repartition(n_out, _BUCKET_COL)
             writer = dfb.write.partitionBy(_BUCKET_COL)
         else:
             dfu = df
-            if sort_by:
+            if sort_exprs:
                 dfu = dfu.repartitionByRange(
-                    *[F.col(c) for c in sort_by]
-                ).sortWithinPartitions(*sort_by)
+                    *sort_exprs
+                ).sortWithinPartitions(*sort_exprs)
             writer = dfu.write
         if codec:
             writer = writer.option("compression", codec)
@@ -1623,7 +1636,8 @@ class LakeTable:
     def compact(self, purge_tombstones_below_lsn: int | None = None,
                 target_files_per_bucket: int = 1,
                 new_bucket_count: int | None = None,
-                sort_by: list[str] | None = None) -> int:
+                sort_by: list[str] | None = None,
+                zorder_by: list[str] | None = None) -> int:
         """Rewrite data into dense files (reference OPTIMIZE ZORDER analogue,
         ``core/spark_delta.py:144-150``); optionally purge tombstones whose
         LSN is below the out-of-order watermark (safe physical delete).
@@ -1639,8 +1653,37 @@ class LakeTable:
         tight and disjoint) AND persists as the ``write.sort_by`` table
         property so subsequent commits keep the clustering — together with
         per-file min/max stats this is the ZORDER-style range-scan locality
-        the reference gets from Delta OPTIMIZE."""
+        the reference gets from Delta OPTIMIZE.
+
+        ``zorder_by`` is the MULTI-column clustering form (Delta ``OPTIMIZE
+        ZORDER BY``): rows sort by an interleaved-bit Morton key over the
+        given columns, so per-file min/max stay tight in EVERY listed
+        dimension and ``read(where=…)`` prunes on any of them — a linear
+        ``sort_by`` only prunes its leading column. Quantile bin bounds are
+        sampled here and persisted (``write.zorder.*`` properties) so later
+        appends keep the same clustering without re-sampling. Mutually
+        exclusive with ``sort_by``."""
         snap = self.snapshot()
+        if sort_by is not None and zorder_by is not None:
+            raise ValueError("pass either sort_by or zorder_by, not both")
+        if zorder_by is not None:
+            from .zorder import ZORDER_BITS, compute_bounds
+
+            known = {f.name for f in self.schema(snap).fields}
+            unknown = [c for c in zorder_by if c not in known]
+            if unknown:
+                raise ValueError(
+                    f"zorder_by column(s) {unknown} not in table schema "
+                    f"{sorted(known)}"
+                )
+            bounds = compute_bounds(self.read(), list(zorder_by))
+            snap = dict(snap)
+            props = dict(snap.get("properties") or {})
+            props.pop("write.sort_by", None)
+            props["write.zorder.by"] = list(zorder_by)
+            props["write.zorder.bounds"] = bounds
+            props["write.zorder.bits"] = ZORDER_BITS
+            snap["properties"] = props
         if sort_by is not None:
             # a typo'd column here would silently produce an unclustered
             # full-table rewrite AND persist a property claiming otherwise
@@ -1654,6 +1697,8 @@ class LakeTable:
             snap = dict(snap)
             props = dict(snap.get("properties") or {})
             props["write.sort_by"] = list(sort_by)
+            for k in ("write.zorder.by", "write.zorder.bounds", "write.zorder.bits"):
+                props.pop(k, None)
             snap["properties"] = props
         df = self.read(include_meta=True)
         if purge_tombstones_below_lsn is not None and META_DELETED in df.columns:

@@ -339,6 +339,60 @@ def test_stats_v1_ntz_bounds_never_prune(spark, warehouse):
     assert _file_skippable(v1, pred, types, "UTC") is False
 
 
+def test_zorder_multi_dim_pruning(spark, warehouse):
+    """Linear sort_by=["ts"] prunes only ts ranges; zorder_by=["ts","v"]
+    (interleaved-bit clustering) must prune file-level on BOTH dimensions,
+    with identical query results."""
+    import datetime as dt
+
+    N = 4096
+    rows = [
+        (f"k{i % 7}", (i * 2654435761) % 100000,  # v scrambled vs ts order
+         dt.datetime(2026, 1, 1) + dt.timedelta(seconds=i))
+        for i in range(N)
+    ]
+    vr = [("v", ">=", 90000)]          # top-10% band of v
+    tr = [("ts", ">=", dt.datetime(2026, 1, 1) + dt.timedelta(seconds=int(N * 0.9)))]
+
+    lin = LakeTable.create(spark, os.path.join(warehouse, "lin"), SCHEMA,
+                           bucket_by="k", bucket_count=1)
+    lin.append(_df(spark, rows))
+    lin.compact(sort_by=["ts"], target_files_per_bucket=16)
+    _, lin_v_skip = lin.plan_files(where=vr)
+    assert lin_v_skip == [], "v is uncorrelated with ts — linear sort cannot prune it"
+
+    zo = LakeTable.create(spark, os.path.join(warehouse, "zo"), SCHEMA,
+                          bucket_by="k", bucket_count=1)
+    zo.append(_df(spark, rows))
+    zo.compact(zorder_by=["ts", "v"], target_files_per_bucket=16)
+    _, zo_v_skip = zo.plan_files(where=vr)
+    _, zo_t_skip = zo.plan_files(where=tr)
+    assert len(zo_v_skip) > 0, "z-order must prune on the second dimension"
+    assert len(zo_t_skip) > 0, "z-order must still prune on ts"
+    # results identical to the unclustered truth regardless of layout
+    want = {(r.k, r.v) for r in lin.read(where=vr).collect()}
+    got = {(r.k, r.v) for r in zo.read(where=vr).collect()}
+    assert got == want and len(got) == sum(1 for _, v, _ in rows if v >= 90000)
+    # bounds persist: a LATER append keeps the clustering without resampling
+    props = zo.snapshot().get("properties")
+    assert props["write.zorder.by"] == ["ts", "v"]
+    assert len(props["write.zorder.bounds"]["v"]) > 100
+    zo.append(_df(spark, rows[:256]))
+    _, skip2 = zo.plan_files(where=vr)
+    assert len(skip2) >= len(zo_v_skip), "appended files must stay clustered"
+
+
+def test_zorder_rejects_string_and_unknown_columns(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, _rows(4)))
+    with pytest.raises(ValueError, match="range locality|unsupported"):
+        t.compact(zorder_by=["k"])
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.compact(zorder_by=["nope"])
+    with pytest.raises(ValueError, match="not both"):
+        t.compact(sort_by=["v"], zorder_by=["v"])
+
+
 def test_view_of_empty_table(spark, warehouse):
     t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
     ident = t.to_view("tt.empty")

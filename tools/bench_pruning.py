@@ -58,7 +58,11 @@ def main() -> None:
             spark.range(args.rows)
             .select(
                 F.format_string("k-%012d", F.col("id")).alias("k"),
-                F.col("id").alias("v"),
+                # v is SCRAMBLED relative to id/ts (Knuth multiplicative
+                # hash) so it is genuinely uncorrelated with the ts sort —
+                # the z-order leg needs a second independent dimension
+                F.pmod(F.col("id") * F.lit(2654435761),
+                       F.lit(args.rows)).alias("v"),
                 F.timestamp_seconds(
                     F.lit(1_700_000_000) + F.col("id")
                 ).alias("ts"),
@@ -100,6 +104,26 @@ def main() -> None:
             lambda: t.read().filter(F.col("ts") >= F.lit(cutoff)).count()
         )
         assert n1 == n2, (n1, n2)
+
+        # z-order leg: the same table clustered by zorder_by(ts, v) must
+        # prune files for a RANGE PREDICATE ON v (uncorrelated with ts) that
+        # the linear ts-sorted table cannot skip at all
+        tz_ = LakeTable.create(
+            spark, os.path.join(tmp, "tz"), df.schema,
+            bucket_by="k", bucket_count=args.buckets,
+        )
+        tz_.append(df)
+        tz_.compact(zorder_by=["ts", "v"],
+                    target_files_per_bucket=args.files_per_bucket)
+        v_cut = int(args.rows * (1 - args.tail_frac))
+        v_where = [("v", ">=", v_cut)]
+        _, lin_v_skip = t.plan_files(where=v_where)
+        zsc, z_v_skip = tz_.plan_files(where=v_where)
+        z_pruned_s, zn1 = timed(lambda: tz_.read(where=v_where).count())
+        z_full_s, zn2 = timed(
+            lambda: tz_.read().filter(F.col("v") >= v_cut).count()
+        )
+        assert zn1 == zn2, (zn1, zn2)
 
         # bloom point-lookup leg: equality probe on a random-order
         # high-cardinality string column, bloom-sized table vs identical
@@ -159,6 +183,11 @@ def main() -> None:
             "bloom_lookup_sec": round(bloom_s, 3),
             "nobloom_lookup_sec": round(nobloom_s, 3),
             "bloom_speedup": round(nobloom_s / bloom_s, 2) if bloom_s > 0 else None,
+            "zorder_v_files_skipped_linear": len(lin_v_skip),
+            "zorder_v_files_skipped_zorder": len(z_v_skip),
+            "zorder_v_files_total": len(zsc) + len(z_v_skip),
+            "zorder_v_pruned_sec": round(z_pruned_s, 3),
+            "zorder_v_full_sec": round(z_full_s, 3),
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -133,6 +133,14 @@ protocol, lineage, fencing and count jobs add no serialization that would
 cap a real cluster's scale-up).
 """
 
+    # preserve hand-written sections (regression checks, volume legs, …)
+    # below the marker across regenerations of the measured part
+    marker = "<!-- MANUAL SECTIONS BELOW — preserved by tools/bench_scaling.py -->"
+    manual_tail = ""
+    if os.path.exists(md):
+        prev = open(md).read()
+        if marker in prev:
+            manual_tail = "\n" + marker + "\n" + prev.split(marker, 1)[1].lstrip("\n")
     with open(md, "w") as f:
         f.write(f"""# BENCH/BASELINE — measured throughput & scaling efficiency
 
@@ -191,6 +199,7 @@ SPARK_GRAFT_CPUS={n4} BENCH_REPLAY_EVENTS={args.events} \\
   taskset -c 0-{n4 - 1} python tools/scaling_control.py
 ```
 """)
+        f.write(manual_tail)
     print(json.dumps({
         "n": n, "n4": n4, "events": args.events, "trials": args.trials,
         "engine_pair_efficiencies": [round(e, 3) for e in eng_effs],
