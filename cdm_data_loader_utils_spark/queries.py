@@ -150,9 +150,10 @@ _DOCS_LAKE_CACHE: dict[str, object] = {}
 
 def _docs_lake_table(spark: SparkSession, sf_dir: str):
     """One clustered lake copy of ``documents`` per (process, sf_dir):
-    bucketed by doc_id, compacted sorted by ``n_chars`` so per-file
-    min/max ranges are tight — the layout stats-based file skipping needs
-    (reference analogue: Delta stats + OPTIMIZE ZORDER,
+    bucketed by doc_id, compacted with ``zorder_by=["n_chars", "doc_id"]``
+    (interleaved-bit Morton clustering) so per-file min/max ranges are
+    tight in BOTH dimensions — the layout multi-column stats skipping
+    needs (reference analogue: Delta stats + OPTIMIZE ZORDER,
     ``parsers/refseq_pipeline/core/spark_delta.py:144-150``)."""
     t = _DOCS_LAKE_CACHE.get(sf_dir)
     if t is not None:
@@ -170,24 +171,27 @@ def _docs_lake_table(spark: SparkSession, sf_dir: str):
         bucket_by="doc_id", bucket_count=4,
     )
     table.append(docs)
-    table.compact(sort_by=["n_chars"], target_files_per_bucket=4)
+    table.compact(zorder_by=["n_chars", "doc_id"], target_files_per_bucket=4)
     _DOCS_LAKE_CACHE[sf_dir] = table
     return table
 
 
 def q_lake_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stats-based data skipping on the lake read path: per-file n_chars
-    min/max (collected in the commit's metadata job) prune files whose range
-    cannot satisfy the predicate, and the surviving files are filtered —
-    result must equal the plain SQL filter over the same rows."""
+    """Stats-based data skipping on the lake read path: per-file min/max
+    (collected in the commit's metadata job) prune files whose range cannot
+    satisfy the predicate, and the surviving files are filtered. The table
+    is Z-ORDER clustered on (n_chars, doc_id), so this two-dimensional
+    predicate prunes on BOTH columns — result must equal the plain SQL
+    filter over the same rows regardless of layout."""
     table = _docs_lake_table(spark, sf_dir)
-    return table.read(where=[("n_chars", ">=", 400)]).select(
-        "doc_id", "lang", "n_chars"
-    )
+    return table.read(
+        where=[("n_chars", ">=", 400), ("doc_id", "<", 300)]
+    ).select("doc_id", "lang", "n_chars")
 
 
 _LAKE_PRUNED_ORACLE = (
-    "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 400"
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE n_chars >= 400 AND doc_id < 300"
 )
 
 
