@@ -77,3 +77,60 @@ def test_event_scan_prunes_to_needed_columns(spark):
     ev = Q.load(spark, SF, "events").select("event_id", "ts")
     schemas = read_schema_columns(ev)
     assert schemas and all(set(s) <= {"event_id", "ts"} for s in schemas)
+
+
+def test_blocked_cosine_never_broadcasts_packed_side(spark):
+    """The scale contract of cosine_pairs_blocked: only the tiny chunk-pair
+    KEY table may broadcast; the packed O(N·d) vectors must flow through
+    shuffled hash joins. And past the key-table threshold (8M pairs) even
+    the keys must stop broadcasting — no broadcast anywhere."""
+    from cdm_data_loader_utils_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+    from cdm_data_loader_utils_spark.plans.inspect import physical_plan
+
+    emb = Q.load(spark, SF, "embeddings")
+    # At tiny sizes the PLANNER may adaptively broadcast the packed table —
+    # that is optimal and self-limiting (size estimates exceed the
+    # threshold at scale). The removed ceiling was the unconditional
+    # F.broadcast(packed); the structural guarantee tested here is the big-C
+    # regime: past the 8M-pair key threshold NOTHING carries a broadcast
+    # hint, so no fixed-size ceiling exists anywhere in the plan.
+    # Unit-scale data always yields tiny size estimates, so the PHYSICAL
+    # plan may legitimately broadcast here; the structural property lives in
+    # the LOGICAL hints the operator emits, which is what governs at scale.
+    import re
+
+    def hints(df):
+        an = df._jdf.queryExecution().analyzed().toString()
+        return re.findall(r"ResolvedHint \(([^)]*)\)", an)
+
+    big = cosine_pairs_blocked(emb, threshold=0.4, num_chunks=5000)
+    assert hints(big) == ["strategy=shuffle_hash", "strategy=shuffle_hash"], (
+        "past 8M chunk pairs no broadcast hint may exist; packed sides "
+        "stay pinned to shuffled hash joins"
+    )
+    small = cosine_pairs_blocked(emb, threshold=0.4, num_chunks=8)
+    hs = hints(small)
+    assert hs.count("strategy=broadcast") == 1, (
+        "exactly the chunk-pair KEY table may carry a broadcast hint"
+    )
+    assert hs.count("strategy=shuffle_hash") == 2
+    assert physical_plan(small).count("collect_list") >= 1
+
+
+def test_operator_cache_release_drops_storage(spark):
+    """release() reclaims the operator-internal persisted blocks."""
+    from cdm_data_loader_utils_spark.operators.cache import release
+    from cdm_data_loader_utils_spark.operators.dedup import simhash_pairs
+
+    docs = Q.load(spark, SF, "documents")
+    pairs = simhash_pairs(docs, max_hamming=3, bands=4)
+    pairs.count()  # materializes the persisted fingerprint table
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    assert before >= 1
+    n = release(pairs)
+    assert n >= 1
+    after = len(jsc.getRDDStorageInfo())
+    assert after < before, (before, after)
