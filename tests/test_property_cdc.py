@@ -145,3 +145,101 @@ def test_connected_components_equals_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r.id: r.label for r in connected_components(pairs).collect()}
     assert got == expected
+
+
+@st.composite
+def table_op_sequences(draw):
+    """Random interleavings of append / merge-upsert / merge-tombstone /
+    predicate-delete / targeted-update / compact against a fresh table."""
+    ops = []
+    n = draw(st.integers(min_value=3, max_value=9))
+    next_key = 0
+    for _ in range(n):
+        kind = draw(st.sampled_from(
+            ["append", "upsert", "tomb", "delete", "update", "compact"]))
+        if kind == "append":
+            cnt = draw(st.integers(1, 4))
+            ops.append(("append", [(next_key + i, draw(st.integers(0, 99)))
+                                   for i in range(cnt)]))
+            next_key += cnt
+        elif kind in ("upsert", "tomb"):
+            if next_key == 0:
+                continue
+            ops.append((kind, draw(st.integers(0, next_key - 1)),
+                        draw(st.integers(0, 99))))
+        elif kind == "delete":
+            ops.append(("delete", draw(st.integers(0, 99))))
+        elif kind == "update":
+            ops.append(("update", draw(st.integers(0, 99))))
+        else:
+            ops.append(("compact",))
+    return ops
+
+
+@pytest.mark.slow_test
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(table_op_sequences())
+def test_row_ops_equal_python_model(spark, tmp_path_factory, ops):
+    """For ANY interleaving of appends, CDC merges (upsert + tombstone),
+    predicate DELETEs, targeted UPDATEs and compactions, the table's live
+    state equals a sequential Python fold — including tombstone/LWW
+    interaction across the row-level ops."""
+    import warnings
+
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.IntegerType()),
+    ])
+    src_schema = T.StructType(list(schema.fields) + [
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    wh = tmp_path_factory.mktemp("rowops")
+    t = LakeTable.create(
+        spark, os.path.join(str(wh), f"t{uuid.uuid4().hex[:6]}"), schema,
+        bucket_by="k", bucket_count=2,
+    )
+    model: dict[int, int] = {}
+    tombstoned: dict[int, int] = {}  # key -> tombstone lsn
+    lsn = 0
+    for op in ops:
+        if op[0] == "append":
+            rows = op[1]
+            t.append(spark.createDataFrame(rows, schema))
+            model.update(dict(rows))
+        elif op[0] in ("upsert", "tomb"):
+            _, key, val = op
+            lsn += 1
+            kind = "i" if op[0] == "upsert" else "d"
+            t.merge_cdc(
+                spark.createDataFrame(
+                    [(key, None if kind == "d" else val, kind, lsn)],
+                    src_schema),
+                key_cols=["k"])
+            if kind == "d":
+                model.pop(key, None)
+                tombstoned[key] = lsn
+            else:
+                # LWW vs an existing tombstone: rising lsn always wins
+                model[key] = val
+                tombstoned.pop(key, None)
+        elif op[0] == "delete":
+            cut = op[1]
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                t.delete(F.col("v") >= cut, where=[("v", ">=", cut)])
+            model = {k: v for k, v in model.items() if v < cut}
+        elif op[0] == "update":
+            cut = op[1]
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                t.update(F.col("v") < cut, {"v": F.col("v") + 1000})
+            model = {k: (v + 1000 if v < cut else v) for k, v in model.items()}
+        else:
+            t.compact(target_files_per_bucket=1)
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == set(model.items()), (ops, got, model)
