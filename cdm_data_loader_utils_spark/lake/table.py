@@ -256,7 +256,12 @@ def _encode_pred_value(v, dtype: T.DataType | None, session_tz: str | None):
         return None
     if isinstance(dtype, T.TimestampNTZType):
         if isinstance(v, datetime.datetime) and v.tzinfo is None:
-            return f"{v:%Y-%m-%d %H:%M:%S}.{v.microsecond:06d}"
+            # %Y does NOT zero-pad years < 1000 on this platform ('999-…'),
+            # while the stats bounds from CAST(ntz AS STRING) are 4-digit
+            # padded — an unpadded literal would sort ABOVE every padded
+            # bound and produce an unsound skip
+            return (f"{v.year:04d}-{v:%m-%d %H:%M:%S}"
+                    f".{v.microsecond:06d}")
         return None
     if isinstance(dtype, T.TimestampType):
         if not isinstance(v, datetime.datetime):
@@ -363,7 +368,8 @@ def _where_lit(value, dtype: T.DataType | None):
         and value.tzinfo is None
     ):
         return F.lit(
-            f"{value:%Y-%m-%d %H:%M:%S}.{value.microsecond:06d}"
+            f"{value.year:04d}-{value:%m-%d %H:%M:%S}"
+            f".{value.microsecond:06d}"
         ).cast(T.TimestampNTZType())
     return F.lit(value)
 
@@ -1241,13 +1247,17 @@ class LakeTable:
         )
 
     def _row_op_context(
-        self, condition: F.Column, where: list[tuple] | None
+        self, condition: F.Column, where: list[tuple] | None,
+        snap: dict | None = None,
     ) -> tuple[dict, list[FileEntry], T.StructType, F.Column]:
         """Shared UPDATE/DELETE prologue: current snapshot, stats-pruned
         candidate files (the ``where`` hint drops files whose min/max
         provably exclude it BEFORE any probe scan), and the tombstone-aware
-        live condition (a tombstoned key never matches a row-level op)."""
-        snap = self.snapshot()
+        live condition (a tombstoned key never matches a row-level op).
+        Callers that already read (and fence-checked) the snapshot pass it
+        in so a fenced redelivery never pays the manifest listing."""
+        if snap is None:
+            snap = self.snapshot()
         existing = self.files(snap)
         if where:
             types = {f.name: f.dataType for f in self.schema(snap).fields}
@@ -1285,10 +1295,12 @@ class LakeTable:
     ) -> tuple[int, int]:
         import warnings
 
-        snap, existing, schema, live_cond = self._row_op_context(condition, where)
+        snap = self.snapshot()
         fenced = self._fence_hit(snap, fence_key)
         if fenced is not None:
             return fenced, 0
+        snap, existing, schema, live_cond = self._row_op_context(
+            condition, where, snap)
         hits = self._probe_hits(snap, existing, live_cond)
         hit = set(hits)
         rows_updated = sum(hits.values())
@@ -1364,10 +1376,12 @@ class LakeTable:
     ) -> tuple[int, int]:
         import warnings
 
-        snap, existing, schema, live_cond = self._row_op_context(condition, where)
+        snap = self.snapshot()
         fenced = self._fence_hit(snap, fence_key)
         if fenced is not None:
             return fenced, 0
+        snap, existing, schema, live_cond = self._row_op_context(
+            condition, where, snap)
         hit_counts = self._probe_hits(snap, existing, live_cond)
         rows_deleted = sum(hit_counts.values())
         if rows_deleted == 0:

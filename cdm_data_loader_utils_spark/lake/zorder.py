@@ -65,9 +65,14 @@ def compute_bounds(
     ])
     n_cuts = (1 << bits) - 1
     probs = [k / (1 << bits) for k in range(1, n_cuts + 1)]
+    # ONE multi-column approxQuantile job — a per-column loop would scan
+    # the projection once per z-order column
+    all_qs = proj.approxQuantile(
+        [f"__z{i}" for i in range(len(cols))], probs, relative_error
+    )
     out: dict[str, list[float]] = {}
     for i, c in enumerate(cols):
-        qs = proj.approxQuantile(f"__z{i}", probs, relative_error)
+        qs = all_qs[i]
         # strictly increasing bounds (duplicates collapse bins, harmless,
         # but a sorted unique list keeps the bin expression minimal)
         uniq: list[float] = []

@@ -28,6 +28,16 @@ def track(out: DataFrame, *deps: DataFrame) -> DataFrame:
     return out
 
 
+def propagate(out: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Carry the recorded caches of ``sources`` onto a COMPOSED result
+    (cluster closure over a pair generator, a filtered projection, …) so
+    ``release(composed)`` still reclaims the upstream operator's internals.
+    Without this, wrapping transforms silently drop the dep list and the
+    release becomes a no-op."""
+    deps = [d for s in sources for d in getattr(s, _ATTR, ())]
+    return track(out, *deps) if deps else out
+
+
 def release(df: DataFrame) -> int:
     """Unpersist every internal cache recorded on ``df`` (and leave the
     frame usable — it just recomputes if re-executed). Returns the number

@@ -136,11 +136,14 @@ def jaccard_pairs(
     ).withColumn("sz", F.size("sh"))
     # persist: the exploded index feeds the optional df-histogram plus both
     # self-join sides; without it shingling re-executes up to 4×
-    ex = sh.select("id", "sz", F.explode("sh").alias("s")).persist()
+    # keep the PERSISTED handle separate: reassigning the name to a derived
+    # frame would make release() unpersist a never-cached plan (a no-op)
+    ex_p = sh.select("id", "sz", F.explode("sh").alias("s")).persist()
+    ex = ex_p
     if max_shingle_df is not None:
-        dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        dfreq = ex_p.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
         ex = (
-            ex.join(dfreq.filter(F.col("__df") <= max_shingle_df), "s")
+            ex_p.join(dfreq.filter(F.col("__df") <= max_shingle_df), "s")
             .drop("__df")
         )
     a, b = ex.alias("a"), ex.alias("b")
@@ -161,7 +164,7 @@ def jaccard_pairs(
         inter.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"),
-        ex,
+        ex_p,
     )
 
 
@@ -248,11 +251,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    # persist: used for the bucket-size histogram AND both self-join sides
-    banded = banded.persist()
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("__bs"))
+    # persist: used for the bucket-size histogram AND both self-join sides.
+    # The persisted handle stays under its own name — reassigning `banded`
+    # would leave release() unpersisting an uncached derived plan
+    banded_p = banded.persist()
+    sizes = banded_p.groupBy("band", "bucket").agg(F.count("*").alias("__bs"))
     banded = (
-        banded.join(sizes, ["band", "bucket"])
+        banded_p.join(sizes, ["band", "bucket"])
         .filter(F.col("__bs") <= max_bucket_size)
         .drop("__bs")
     )
@@ -303,7 +308,7 @@ def minhash_lsh_pairs(
     )
     from .cache import track
 
-    return track(verified, sigs, banded, sh)
+    return track(verified, sigs, banded_p, sh)
 
 
 def connected_components(
@@ -383,7 +388,11 @@ def connected_components(
             f"{max_iter} rounds; labels would be incorrect — raise max_iter "
             f"(components converge in O(log diameter) rounds)"
         )
-    return labels.select(F.col("src").alias("id"), "label")
+    from .cache import propagate
+
+    return propagate(
+        labels.select(F.col("src").alias("id"), "label"), pairs
+    )
 
 
 def dedup_clusters(
@@ -397,14 +406,19 @@ def dedup_clusters(
     Output: (id_col, cluster_rep). Compose with any pair generator —
     :func:`jaccard_pairs` as the exact oracle, :func:`minhash_lsh_pairs` as
     the linear-time scale path (same edge schema)."""
+    from .cache import propagate
+
     cc = connected_components(pairs)
-    return df.select(F.col(id_col)).join(
-        cc.select(F.col("id").alias(id_col), F.col("label").alias("cluster_rep")),
-        id_col,
-        "left",
-    ).select(
-        F.col(id_col),
-        F.coalesce("cluster_rep", F.col(id_col)).alias("cluster_rep"),
+    return propagate(
+        df.select(F.col(id_col)).join(
+            cc.select(F.col("id").alias(id_col), F.col("label").alias("cluster_rep")),
+            id_col,
+            "left",
+        ).select(
+            F.col(id_col),
+            F.coalesce("cluster_rep", F.col(id_col)).alias("cluster_rep"),
+        ),
+        cc,
     )
 
 
@@ -415,10 +429,13 @@ def drop_duplicates_by_cluster(
 ) -> DataFrame:
     """Keep exactly one representative row per duplicate cluster — the
     apply-side of near-dup detection a real curation pipeline needs."""
-    reps = dedup_clusters(df, pairs, id_col).filter(
-        F.col(id_col) == F.col("cluster_rep")
-    )
-    return df.join(reps.select(id_col), id_col, "inner")
+    from .cache import propagate
+
+    # keep the TRACKED handle: .filter() returns a new DataFrame without
+    # the recorded dep list, so propagation must source from `clusters`
+    clusters = dedup_clusters(df, pairs, id_col)
+    reps = clusters.filter(F.col(id_col) == F.col("cluster_rep"))
+    return propagate(df.join(reps.select(id_col), id_col, "inner"), clusters)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

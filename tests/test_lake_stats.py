@@ -654,6 +654,13 @@ def test_encode_pred_value_timezone_semantics():
     assert _encode_pred_value(naive, T.TimestampType(), "UTC") is None
     # wall-clock column: aware literal is ambiguous → refuse to prune
     assert _encode_pred_value(aware, T.TimestampNTZType(), "UTC") is None
+    # years < 1000: %Y does not zero-pad on this platform; the encoder must
+    # (an unpadded '999-…' sorts ABOVE every padded bound → unsound skip)
+    import datetime as _dt
+    early = _encode_pred_value(
+        _dt.datetime(999, 12, 31, 23, 59, 59), T.TimestampNTZType(), "UTC")
+    assert early == "0999-12-31 23:59:59.000000", early
+    assert early < "2026-01-01 00:00:00.000000"
     assert _encode_pred_value(naive, T.TimestampNTZType(), "UTC") \
         == "2026-01-01 03:00:00.000000"
     assert _encode_pred_value(dt.date(2026, 1, 2), T.DateType(), None) \

@@ -119,6 +119,10 @@ def main() -> None:
         v_where = [("v", ">=", v_cut)]
         _, lin_v_skip = t.plan_files(where=v_where)
         zsc, z_v_skip = tz_.plan_files(where=v_where)
+        assert z_v_skip, (
+            "z-order pruning skipped 0 files — regression in Morton "
+            "clustering or second-dimension stats"
+        )
         z_pruned_s, zn1 = timed(lambda: tz_.read(where=v_where).count())
         z_full_s, zn2 = timed(
             lambda: tz_.read().filter(F.col("v") >= v_cut).count()

@@ -60,6 +60,9 @@ def main() -> int:
             sset = sorted(
                 tuple(canon(r[c]) for c in scols) for r in srows
             )
+            # reclaim operator-internal caches between the 50 queries
+            from cdm_data_loader_utils_spark.operators.cache import release
+            release(sdf)
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error {str(e)[:200]}")
