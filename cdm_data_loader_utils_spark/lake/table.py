@@ -1336,6 +1336,77 @@ class LakeTable:
         nxt["summary"].setdefault("files_probed", len(existing))
         return self._commit(nxt), rows_updated
 
+    # ------------------------------------------------------ change data feed
+    def _changed_bucket_entries(
+        self, old_snap: dict, new_snap: dict
+    ) -> tuple[list[FileEntry], list[FileEntry]]:
+        """File entries of buckets whose manifests DIFFER between two
+        snapshots. A bucket carrying the identical manifest reference is
+        byte-identical on both sides — zero rows of it can have changed —
+        so a snapshot-to-snapshot diff never reads it. O(buckets) driver
+        work; the skipped data volume is the whole point at 10^10 rows."""
+        om = self._require_v2(old_snap)
+        nm = self._require_v2(new_snap)
+        rebucketed = old_snap.get("bucket_count") != new_snap.get("bucket_count")
+        same = set() if rebucketed else {
+            k for k in om if nm.get(k) == om[k]
+        }
+        old_entries = [
+            fe for k, m in om.items() if k not in same
+            for fe in self._read_manifest(m)
+        ]
+        new_entries = [
+            fe for k, m in nm.items() if k not in same
+            for fe in self._read_manifest(m)
+        ]
+        return old_entries, new_entries
+
+    def changes(
+        self,
+        key_cols: list[str],
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Change data feed: row-level changes between two snapshots of THIS
+        table (Delta CDF / Iceberg changelog-scan parity). Output is the
+        :func:`operators.snapshot_diff.classify_changes` shape — key
+        columns, ``old_``/``new_`` value columns, ``change_type`` ∈
+        {new, deleted, updated} — ready for
+        :func:`operators.snapshot_diff.to_change_events` to re-enter the
+        MERGE path of a downstream table.
+
+        Scale shape: buckets whose manifest reference is unchanged between
+        the snapshots are skipped wholesale (O(buckets) metadata compare,
+        no scan), so the join cost tracks the volume of buckets that
+        actually changed, not table size. Schema evolution between the
+        snapshots is handled by aligning the old side to the new schema
+        (added columns diff as NULL → value)."""
+        from ..operators.snapshot_diff import CHANGE_UNCHANGED, classify_changes
+
+        old_snap = self.snapshot(from_snapshot_id)
+        new_snap = self.snapshot(to_snapshot_id)
+        new_schema = self.schema(new_snap)
+        old_entries, new_entries = self._changed_bucket_entries(old_snap, new_snap)
+
+        def live(snap, entries):
+            if not entries:
+                return self.spark.createDataFrame([], new_schema)
+            df = self._read_files(snap, entries, with_file_col=False)
+            if META_DELETED in df.columns:
+                df = df.filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
+            df = df.drop(*[c for c in _META_COLS if c in df.columns])
+            return _align_to_schema(df, new_schema)
+
+        value_cols = [
+            f.name for f in new_schema.fields
+            if f.name not in key_cols and f.name not in _META_COLS
+        ]
+        diffed = classify_changes(
+            live(old_snap, old_entries), live(new_snap, new_entries),
+            key_cols, value_cols,
+        )
+        return diffed.filter(F.col("change_type") != CHANGE_UNCHANGED)
+
     # --------------------------------------------------------------- delete
     def delete(
         self,

@@ -153,6 +153,69 @@ def test_delete_where_hint_prunes_probe(spark, warehouse):
     }
 
 
+# --------------------------------------------------------- change data feed
+def test_changes_between_snapshots(spark, warehouse):
+    """Delta-CDF-style changes(): inserts, updates, predicate deletes and
+    CDC tombstones all classify correctly between two snapshots, with
+    schema evolution aligned on the old side."""
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k",
+        bucket_count=4,
+    )
+    src = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    t.merge_cdc(
+        spark.createDataFrame(
+            [("a", 1, "i", 1), ("b", 2, "i", 2), ("c", 3, "i", 3)], src),
+        key_cols=["k"])
+    v_from = t.snapshot_id
+    t.merge_cdc(
+        spark.createDataFrame(
+            [("b", 20, "u", 4), ("d", 4, "i", 5), ("c", None, "d", 6)], src),
+        key_cols=["k"])
+    t.delete(F.col("k") == "a")
+    got = {
+        (r.k, r.change_type, r.old_v, r.new_v)
+        for r in t.changes(["k"], v_from).collect()
+    }
+    assert got == {
+        ("a", "deleted", 1, None),
+        ("b", "updated", 2, 20),
+        ("c", "deleted", 3, None),
+        ("d", "new", None, 4),
+    }
+    # to_change_events bridges the feed back into a MERGE-ready envelope
+    from cdm_data_loader_utils_spark.operators.snapshot_diff import (
+        to_change_events,
+    )
+    ev = to_change_events(t.changes(["k"], v_from), ["k"], ["v"])
+    assert {(r.k, r.op) for r in ev.collect()} == {
+        ("a", "d"), ("b", "u"), ("c", "d"), ("d", "i")
+    }
+
+
+def test_changes_skips_unchanged_buckets(spark, warehouse):
+    """Manifest-level pruning: buckets whose manifest ref is identical
+    between snapshots are excluded from the diff scan entirely."""
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k",
+        bucket_count=8,
+    )
+    t.append(_df(spark, [(f"k{i}", i) for i in range(64)]))
+    v_from = t.snapshot_id
+    # touch exactly one key → at most one bucket's manifest changes
+    _, n = t.update(F.col("k") == "k7", {"v": F.lit(700)})
+    assert n == 1
+    old_e, new_e = t._changed_bucket_entries(
+        t.snapshot(v_from), t.snapshot())
+    all_files = len(t.files())
+    assert len(new_e) < all_files, (len(new_e), all_files)
+    got = {(r.k, r.change_type) for r in t.changes(["k"], v_from).collect()}
+    assert got == {("k7", "updated")}
+
+
 # --------------------------------------------------------- run state machine
 def test_run_state_machine(spark, warehouse):
     audit = AuditStore(spark, warehouse)
