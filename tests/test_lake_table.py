@@ -260,6 +260,32 @@ def test_concurrent_appends_retry(spark, warehouse):
     assert {(r.k, r.v) for r in t.read().collect()} == got
 
 
+def test_concurrent_delete_and_append_retry(spark, warehouse):
+    """A predicate DELETE racing an append on the same snapshot version:
+    the optimistic-retry loop must apply BOTH effects — the appended rows
+    land, and every row matching the delete condition (whichever writer
+    won the race) is gone."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1), ("b", 200)]))
+
+    def do_append():
+        t.append(_df(spark, [("c", 300), ("d", 3)]))
+
+    def do_delete():
+        t.delete(F.col("v") >= 100)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda f: f(), [do_append, do_delete]))
+    got = {(r.k, r.v) for r in t.read().collect()}
+    # "a" and "d" always survive; "b" is always deleted; "c" (v=300)
+    # survives only if the append committed AFTER the delete probed
+    assert {("a", 1), ("d", 3)} <= got
+    assert ("b", 200) not in got
+    assert got - {("a", 1), ("d", 3), ("c", 300)} == set()
+
+
 def test_table_on_hadoop_file_uri(spark, warehouse):
     """The FS layer must run the whole lifecycle over a Hadoop FileSystem
     (file:// here; same code path mounts hdfs:// / s3a:// on a cluster)."""
