@@ -1361,6 +1361,35 @@ class LakeTable:
         ]
         return old_entries, new_entries
 
+    def _bucket_pruning_sound(
+        self, key_cols: list[str], old_snap: dict, new_snap: dict
+    ) -> bool:
+        """Bucket-level diff pruning is sound ONLY when a key's rows are
+        guaranteed to sit in the same bucket on both sides:
+
+        * the bucket column must be part of ``key_cols`` — otherwise a key
+          whose row moved buckets (bucket column value changed) would be
+          seen on one side only and misclassified as new/deleted;
+        * the bucket column's TYPE must be unchanged — xxhash64 hashes an
+          int and a widened long differently, so a type widening silently
+          re-maps bucket assignment for rewritten rows;
+        * both snapshots must be format v2 (manifest-per-bucket).
+
+        When any condition fails, callers fall back to a full two-sided
+        diff — always correct, just unpruned."""
+        bucket_by = new_snap.get("bucket_by")
+        if not bucket_by or bucket_by not in key_cols:
+            return False
+        if old_snap.get("format_version", 2) < 2 or \
+                new_snap.get("format_version", 2) < 2:
+            return False
+        try:
+            ot = self.schema(old_snap)[bucket_by].dataType
+            nt = self.schema(new_snap)[bucket_by].dataType
+        except KeyError:
+            return False
+        return ot == nt
+
     def changes(
         self,
         key_cols: list[str],
@@ -1375,32 +1404,46 @@ class LakeTable:
         :func:`operators.snapshot_diff.to_change_events` to re-enter the
         MERGE path of a downstream table.
 
+        CONTRACT: ``key_cols`` must uniquely identify a row on each side
+        (the invariant :meth:`merge_cdc` maintains). On a table with
+        duplicate rows per key — possible via plain :meth:`append` — a
+        keyed diff cannot represent row multiplicity and the feed would
+        mis-classify; same documented one-row-per-key contract as the
+        merge source.
+
         Scale shape: buckets whose manifest reference is unchanged between
         the snapshots are skipped wholesale (O(buckets) metadata compare,
         no scan), so the join cost tracks the volume of buckets that
-        actually changed, not table size. Schema evolution between the
-        snapshots is handled by aligning the old side to the new schema
-        (added columns diff as NULL → value)."""
+        actually changed, not table size. The pruning self-disables (full,
+        still-correct diff) whenever it would be unsound: unbucketed
+        tables, bucket column not part of ``key_cols``, a re-bucket or a
+        bucket-column type widening between the snapshots, or legacy v1
+        snapshots. Schema evolution between the snapshots is handled by
+        aligning the old side to the new USER schema (added columns diff
+        as NULL → value)."""
         from ..operators.snapshot_diff import CHANGE_UNCHANGED, classify_changes
 
         old_snap = self.snapshot(from_snapshot_id)
         new_snap = self.snapshot(to_snapshot_id)
-        new_schema = self.schema(new_snap)
-        old_entries, new_entries = self._changed_bucket_entries(old_snap, new_snap)
+        user_schema = T.StructType([
+            f for f in self.schema(new_snap).fields if f.name not in _META_COLS
+        ])
+        if self._bucket_pruning_sound(key_cols, old_snap, new_snap):
+            old_entries, new_entries = self._changed_bucket_entries(
+                old_snap, new_snap)
+        else:
+            old_entries, new_entries = self.files(old_snap), self.files(new_snap)
 
         def live(snap, entries):
             if not entries:
-                return self.spark.createDataFrame([], new_schema)
+                return self.spark.createDataFrame([], user_schema)
             df = self._read_files(snap, entries, with_file_col=False)
             if META_DELETED in df.columns:
                 df = df.filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
             df = df.drop(*[c for c in _META_COLS if c in df.columns])
-            return _align_to_schema(df, new_schema)
+            return _align_to_schema(df, user_schema)
 
-        value_cols = [
-            f.name for f in new_schema.fields
-            if f.name not in key_cols and f.name not in _META_COLS
-        ]
+        value_cols = [f.name for f in user_schema.fields if f.name not in key_cols]
         diffed = classify_changes(
             live(old_snap, old_entries), live(new_snap, new_entries),
             key_cols, value_cols,

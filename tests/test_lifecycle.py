@@ -214,6 +214,15 @@ def test_changes_skips_unchanged_buckets(spark, warehouse):
     assert len(new_e) < all_files, (len(new_e), all_files)
     got = {(r.k, r.change_type) for r in t.changes(["k"], v_from).collect()}
     assert got == {("k7", "updated")}
+    # soundness guards: pruning self-disables when the bucket column is not
+    # part of the diff key (a key's rows could move buckets unseen) — the
+    # diff still runs, unpruned and correct
+    assert t._bucket_pruning_sound(["k"], t.snapshot(v_from), t.snapshot())
+    assert not t._bucket_pruning_sound(["v"], t.snapshot(v_from), t.snapshot())
+    got_by_v = {
+        (r.v, r.change_type) for r in t.changes(["v"], v_from).collect()
+    }
+    assert got_by_v == {(7, "deleted"), (700, "new")}
 
 
 # --------------------------------------------------------- run state machine
