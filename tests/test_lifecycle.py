@@ -225,6 +225,49 @@ def test_changes_skips_unchanged_buckets(spark, warehouse):
     assert got_by_v == {(7, "deleted"), (700, "new")}
 
 
+def test_changes_feed_replicates_downstream_table(spark, warehouse):
+    """CDC-out feeds CDC-in: replaying changes() through to_change_events →
+    merge_cdc after every upstream commit keeps a downstream replica equal
+    to the source — the incremental-sync composition a lakehouse mirror
+    runs, never a full copy."""
+    from cdm_data_loader_utils_spark.operators.snapshot_diff import (
+        to_change_events,
+    )
+
+    src_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    up = LakeTable.create(
+        spark, os.path.join(warehouse, "up"), SCHEMA, bucket_by="k",
+        bucket_count=4,
+    )
+    down = LakeTable.create(
+        spark, os.path.join(warehouse, "down"), SCHEMA, bucket_by="k",
+        bucket_count=2,  # replica layout may differ
+    )
+    steps = [
+        [("a", 1, "i", 1), ("b", 2, "i", 2)],
+        [("b", 20, "u", 3), ("c", 3, "i", 4)],
+        [("a", None, "d", 5), ("d", 4, "i", 6)],
+    ]
+    last_synced = up.snapshot_id
+    for batch in steps:
+        up.merge_cdc(spark.createDataFrame(batch, src_schema), key_cols=["k"])
+        feed = up.changes(["k"], last_synced)
+        # per-sync lsn_offset: a key re-synced later carries the SAME hash
+        # base + a larger offset, so LWW prefers the newer increment
+        ev = to_change_events(feed, ["k"], ["v"], lsn_offset=up.snapshot_id)
+        down.merge_cdc(ev, key_cols=["k"])
+        last_synced = up.snapshot_id
+        got_up = {(r.k, r.v) for r in up.read().collect()}
+        got_down = {(r.k, r.v) for r in down.read().collect()}
+        assert got_up == got_down, (got_up, got_down)
+    assert {(r.k, r.v) for r in down.read().collect()} == {
+        ("b", 20), ("c", 3), ("d", 4)
+    }
+
+
 # --------------------------------------------------------- run state machine
 def test_run_state_machine(spark, warehouse):
     audit = AuditStore(spark, warehouse)
