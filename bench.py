@@ -120,11 +120,17 @@ def main() -> None:
     qmap = Q.queries()
     timings: dict[str, float] = {}
     # BENCH_ONLY_REPLAY=1 → scaling-efficiency mode: skip the query suite so
-    # each measured leg is exactly the replay job (tools/bench_scaling.py)
+    # each measured leg is exactly the replay job (tools/bench_scaling.py).
+    # BENCH_ONLY_QUERIES=a,b → run just that query subset (interleaved
+    # old-vs-new regression legs time one family without suite overhead).
     only_replay = os.environ.get("BENCH_ONLY_REPLAY", "") == "1"
+    subset = [
+        s for s in os.environ.get("BENCH_ONLY_QUERIES", "").split(",") if s
+    ]
+    run_queries = subset if subset else BENCH_QUERIES
     from cdm_data_loader_utils_spark.operators.cache import release
 
-    for name in [] if only_replay else BENCH_QUERIES:
+    for name in [] if only_replay else run_queries:
         t0 = time.perf_counter()
         df = qmap[name](spark, sf_dir)
         n = df.count()

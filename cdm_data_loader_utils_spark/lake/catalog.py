@@ -127,29 +127,68 @@ class Catalog:
         (``parsers/gene_association_file.py:225-242``).
 
         Views pin the CURRENT snapshot's file list (see
-        :meth:`LakeTable.as_sql`). A view auto-refreshes after commits made
-        through the SAME table handle (``LakeTable.to_view`` live-view
-        contract); commits from other handles or processes are picked up by
-        calling :meth:`refresh_views`. Returns ``name → view identifier``.
-        Names whose path holds no table yet are skipped."""
+        :meth:`LakeTable.as_sql`; the pinned snapshot id is stamped as the
+        view property ``lake.snapshot_id`` — ask
+        :meth:`LakeTable.view_status` whether a view is current). A view
+        auto-refreshes after commits made through the SAME table handle
+        (``LakeTable.to_view`` live-view contract); commits from other
+        handles or processes are picked up by calling :meth:`refresh_views`.
+        Returns ``name → view identifier``. Names whose path holds no table
+        yet are skipped."""
         out: dict[str, str] = {}
         wanted = self.tables() if names is None else {
             n: self.resolve(n) for n in names
         }
+        pins = self._view_pins
         for name, path in wanted.items():
             if not LakeTable.exists(path, spark=self.spark):
                 continue
             t = LakeTable.load(self.spark, path)
             out[name] = t.to_view(name)
+            pins[name] = (path, t.snapshot_id)
         return out
 
+    @property
+    def _view_pins(self) -> dict[str, tuple[str, int]]:
+        """name → (path, snapshot id the view was generated at) for views
+        registered through THIS catalog object."""
+        pins = getattr(self, "_pins", None)
+        if pins is None:
+            pins = self._pins = {}
+        return pins
+
     def refresh_views(self, names: list[str] | None = None) -> dict[str, str]:
-        """Re-point every registered SQL view at each table's CURRENT
-        snapshot — the cross-process staleness escape hatch (same-handle
-        commits already auto-refresh their live views)."""
-        return self.register_views(names)
+        """Re-point registered SQL views at each table's CURRENT snapshot —
+        the cross-process staleness escape hatch (same-handle commits
+        already auto-refresh their live views). Tables whose latest snapshot
+        id still matches the pinned one are SKIPPED after a single
+        metadata-listing read — no view-text regeneration — so calling this
+        on a schedule is O(tables) cheap when nothing moved. Returns only
+        the views actually re-pointed (plus any never-registered names,
+        which are registered fresh)."""
+        wanted = self.tables() if names is None else {
+            n: self.resolve(n) for n in names
+        }
+        pins = self._view_pins
+        out: dict[str, str] = {}
+        for name, path in wanted.items():
+            if not LakeTable.exists(path, spark=self.spark):
+                continue
+            t = LakeTable.load(self.spark, path)
+            pin = pins.get(name)
+            if pin is not None and pin == (path, t.snapshot_id):
+                continue  # fast no-op: nothing committed since registration
+            out[name] = t.to_view(name)
+            pins[name] = (path, t.snapshot_id)
+        return out
 
     def drop(self, name: str, purge: bool = False) -> None:
+        """Remove ``name`` from the catalog (optionally deleting its data)
+        and DROP any SQL view this catalog registered for it — a dangling
+        view would keep serving the dropped table's pinned files until
+        ``expire_snapshots``/``purge`` made it error out confusingly."""
+        from .table import _view_ident
+
         dropped: list[str] = []
 
         def _mut(m: dict):
@@ -159,5 +198,7 @@ class Catalog:
             return m
 
         self._cas(_mut)
+        if self._view_pins.pop(name, None) is not None:
+            self.spark.sql(f"DROP VIEW IF EXISTS {_view_ident(name)}")
         if purge and dropped:
             self.fs.delete_dir(dropped[-1])

@@ -64,6 +64,16 @@ META_LSN = "__lsn"
 META_DELETED = "__deleted"
 _META_COLS = (META_LSN, META_DELETED)
 
+def _view_ident(view_name: str) -> str:
+    """Quoted SQL identifier for a ``db.view`` name — the same collapsing
+    (``a.b.c`` → ``a_b.c``) and backtick-escaping :meth:`LakeTable.to_view`
+    applies, factored out so drop/status paths address the same object."""
+    parts = view_name.split(".")
+    if len(parts) > 2:
+        parts = ["_".join(parts[:-1]), parts[-1]]
+    return ".".join("`" + p.replace("`", "``") + "`" for p in parts)
+
+
 _LOG_DIR = "_log"
 _MANIFEST_DIR = "_log/manifests"
 _DATA_DIR = "data"
@@ -588,12 +598,34 @@ class LakeTable:
         table handle after a successful commit, so ``spark.sql`` users never
         read a stale file list. Commits from OTHER writers/processes still
         need :meth:`to_view` / :meth:`Catalog.register_views` re-run. A
-        refresh failure must not fail the already-durable commit — it warns."""
+        refresh failure must not fail the already-durable commit — it warns.
+
+        Views whose visible state provably did not move — identical manifest
+        map and schema id since the last registration (a properties-only or
+        fence-only commit) — skip the O(directories) text regeneration."""
         import warnings
 
-        for name in list(getattr(self, "_live_views", ())):
+        names = list(getattr(self, "_live_views", ()))
+        if not names:
+            return
+        try:
+            snap = self.snapshot()
+            sig = (
+                tuple(sorted(self._require_v2(snap).items())),
+                snap["current_schema_id"],
+            )
+        except Exception:  # noqa: BLE001 — v1 snapshot etc.: always refresh
+            sig = None
+        sigs = getattr(self, "_view_sig", None)
+        if sigs is None:
+            sigs = self._view_sig = {}
+        for name in names:
+            if sig is not None and sigs.get(name) == sig:
+                continue
             try:
                 self._register_view(name, None)
+                if sig is not None:
+                    sigs[name] = sig
             except Exception as e:  # noqa: BLE001 — commit is already durable
                 warnings.warn(
                     f"auto-refresh of SQL view {name!r} failed: {e}",
@@ -758,46 +790,103 @@ class LakeTable:
         # chars Hadoop globbing treats specially inside a brace alternation
         # (plus backtick, which SQL path quoting cannot escape)
         _GLOB_CHARS = set("{}[]*?,\\`")
+        root = self.path.rstrip("/") + "/"
 
-        def group_refs(paths: list[str], rows: int) -> tuple[list[str], str | None]:
-            """(scan refs, completeness guard) for one schema group.
-
-            Preferred form is ONE scan node per group: Spark resolves
-            ``parquet.`p``` through Hadoop path globbing, so a brace
-            alternation covers the whole group's file list in a single
-            multi-path scan — O(schema groups) plan nodes instead of one
-            UNION ALL branch per file. Still O(files) characters (pure SQL
-            text cannot reference a manifest), but the PLAN no longer
-            degrades.
-
-            A brace glob matching only a SUBSET of its members succeeds
-            silently (a per-file ref fails loudly at analysis), so the glob
-            form carries a runtime completeness guard: a scalar subquery
-            asserting the group's physical row count matches the manifest.
-            count(*) over parquet materializes no columns — near-metadata
-            cost. Paths containing glob metacharacters fall back to loud
-            per-file refs (no guard needed)."""
-            if len(paths) == 1:
-                return [f"parquet.`{paths[0]}`"], None
-            root = self.path.rstrip("/") + "/"
-            globbable = all(
-                not (_GLOB_CHARS & set(p)) and p.startswith(root) for p in paths
-            )
-            if not globbable:
-                return [f"parquet.`{p}`" for p in paths], None
-            if rows < 0:
-                # legacy manifest entries without row counts: the guard
-                # cannot be computed — use loud per-file refs instead
-                return [f"parquet.`{p}`" for p in paths], None
-            rels = sorted(p[len(root):] for p in paths)
-            ref = f"parquet.`{root}{{{','.join(rels)}}}`"
-            guard = (
+        def guard_for(ref: str, rows: int, what: str) -> str:
+            """Runtime completeness guard for a glob scan: a glob matching a
+            SUBSET of what it should succeeds silently (a per-file ref fails
+            loudly at analysis), and a DIRECTORY glob can also pick up files
+            a later operation unreferenced. The scalar-subquery assert turns
+            both into loud errors. count(*) over parquet materializes no
+            columns — near-metadata cost."""
+            return (
                 f"(SELECT assert_true(count(*) = {rows}, "
                 f"'lake view is stale: expected {rows} rows across "
-                f"{len(paths)} files — a pinned file is missing or "
-                f"truncated; re-register the view') FROM {ref}) IS NULL"
+                f"{what} — a pinned file is missing/truncated or an "
+                f"unreferenced file appeared; re-register the view') "
+                f"FROM {ref}) IS NULL"
             )
-            return [ref], guard
+
+        def group_refs(
+            entries: list[tuple[str, int]]
+        ) -> list[tuple[str, str | None]]:
+            """(scan ref, guard) list for one schema group — at most two.
+
+            Preferred form keeps the view text O(data directories), i.e.
+            O(buckets × commits-since-compact), independent of files per
+            bucket: every commit writes its files under a fresh
+            ``data/<uid>[/__bucket=N]`` leaf directory, so a directory whose
+            on-disk ``*.parquet`` set exactly equals the manifest's entries
+            for it is referenced as ONE ``dir/*.parquet`` glob member. All
+            qualifying directories share a single brace-glob scan node.
+
+            Directories that fail the equality probe (a row-op left an
+            unreferenced file awaiting ``expire_snapshots``, zero-row
+            straggler parts, glob metacharacters in the path, legacy
+            entries without row counts) fall back to the per-FILE brace
+            glob — still one scan node — or, if even that is unsafe, loud
+            per-file refs. Guards make any disk/manifest divergence a
+            runtime error, never a silent partial result."""
+            if len(entries) == 1:
+                return [(f"parquet.`{entries[0][0]}`", None)]
+            by_dir: dict[str, list[tuple[str, int]]] = {}
+            for p, r in entries:
+                by_dir.setdefault(posixpath.dirname(p), []).append((p, r))
+            dir_rels: list[str] = []
+            dir_rows = dir_files = 0
+            leftover: list[tuple[str, int]] = []
+            for d, items in sorted(by_dir.items()):
+                rel = d[len(root):] if d.startswith(root) else None
+                ok = (
+                    rel is not None
+                    and bool(rel)
+                    and not (_GLOB_CHARS & set(rel))
+                    and all(r >= 0 for _, r in items)
+                )
+                if ok:
+                    try:
+                        disk = {
+                            f for f in self.fs.walk_files(d)
+                            if f.endswith(".parquet")
+                        }
+                    except Exception:  # noqa: BLE001 — listing failure ⇒ fall back
+                        disk = None
+                    ok = disk == {p for p, _ in items}
+                if ok:
+                    dir_rels.append(rel)
+                    dir_rows += sum(r for _, r in items)
+                    dir_files += len(items)
+                else:
+                    leftover.extend(items)
+            out: list[tuple[str, str | None]] = []
+            if dir_rels:
+                if len(dir_rels) == 1:
+                    ref = f"parquet.`{root}{dir_rels[0]}/*.parquet`"
+                else:
+                    ref = (
+                        f"parquet.`{root}{{{','.join(dir_rels)}}}/*.parquet`"
+                    )
+                out.append((ref, guard_for(
+                    ref, dir_rows,
+                    f"{dir_files} files in {len(dir_rels)} directories",
+                )))
+            if leftover:
+                paths = sorted(p for p, _ in leftover)
+                globbable = all(
+                    not (_GLOB_CHARS & set(p)) and p.startswith(root)
+                    for p in paths
+                )
+                rows_known = all(r >= 0 for _, r in leftover)
+                if len(paths) == 1 or not globbable or not rows_known:
+                    out.extend((f"parquet.`{p}`", None) for p in paths)
+                else:
+                    rels = [p[len(root):] for p in paths]
+                    ref = f"parquet.`{root}{{{','.join(rels)}}}`"
+                    out.append((ref, guard_for(
+                        ref, sum(r for _, r in leftover),
+                        f"{len(paths)} files",
+                    )))
+            return out
 
         groups: dict[int, list[tuple[str, int]]] = {}
         for fe in self.files(snap):
@@ -807,8 +896,6 @@ class LakeTable:
         has_del = META_DELETED in [f.name for f in cur.fields]
         selects: list[str] = []
         for sid, entries in groups.items():
-            paths = [p for p, _ in entries]
-            rows = -1 if any(r < 0 for _, r in entries) else sum(r for _, r in entries)
             fschema = _schema_from_json(snap["schemas"][str(sid)])
             have = {f.name for f in fschema.fields}
             proj_fields = list(out_fields)
@@ -824,9 +911,9 @@ class LakeTable:
                 )
                 for f in proj_fields
             )
-            refs, guard = group_refs(paths, rows)
-            where = f" WHERE {guard}" if guard else ""
-            selects.extend(f"SELECT {cols} FROM {ref}{where}" for ref in refs)
+            for ref, guard in group_refs(entries):
+                where = f" WHERE {guard}" if guard else ""
+                selects.append(f"SELECT {cols} FROM {ref}{where}")
         if not selects:
             cols = ", ".join(
                 f"CAST(NULL AS {f.dataType.simpleString()}) AS {q(f.name)}"
@@ -850,14 +937,60 @@ class LakeTable:
         A view registered WITHOUT an explicit ``snapshot_id`` is LIVE for
         this table handle: every subsequent successful commit through this
         object re-registers it, so ``spark.sql`` reads never go stale
-        (snapshot-pinned views stay pinned — that is their point)."""
+        (snapshot-pinned views stay pinned — that is their point).
+        Re-registering an existing LIVE name WITH a pin demotes it to pinned
+        (it leaves the auto-refresh set — otherwise the next commit would
+        silently re-point the pinned view at latest). The pinned snapshot id
+        is stamped as view property ``lake.snapshot_id`` (plus ``lake.path``)
+        so any session-catalog reader can ask whether the view is current —
+        see :meth:`view_status`."""
         ident = self._register_view(view_name, snapshot_id)
+        live = getattr(self, "_live_views", None)
+        if live is None:
+            live = self._live_views = set()
         if snapshot_id is None:
-            live = getattr(self, "_live_views", None)
-            if live is None:
-                live = self._live_views = set()
             live.add(view_name)
+        else:
+            live.discard(view_name)
         return ident
+
+    def drop_view(self, view_name: str) -> None:
+        """Drop a SQL view registered through :meth:`to_view` AND remove it
+        from this handle's live-refresh set, so a later commit cannot
+        resurrect it (``DROP VIEW`` alone would: auto-refresh re-issues
+        ``CREATE OR REPLACE`` after every commit)."""
+        live = getattr(self, "_live_views", None)
+        if live is not None:
+            live.discard(view_name)
+        getattr(self, "_view_sig", {}).pop(view_name, None)
+        self.spark.sql(f"DROP VIEW IF EXISTS {_view_ident(view_name)}")
+
+    @staticmethod
+    def view_status(spark: SparkSession, view_name: str) -> dict:
+        """Cross-handle/process freshness probe for a :meth:`to_view` view:
+        reads the ``lake.snapshot_id`` / ``lake.path`` properties stamped at
+        registration and compares against the table's CURRENT latest snapshot
+        (one log-listing metadata read — no data touched). Returns
+        ``{"path", "pinned_snapshot_id", "latest_snapshot_id", "current"}``;
+        raises KeyError for views not created by :meth:`to_view`."""
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {_view_ident(view_name)}"
+        ).collect()
+        props = {r["key"]: r["value"] for r in rows}
+        if "lake.path" not in props or "lake.snapshot_id" not in props:
+            raise KeyError(
+                f"view {view_name!r} carries no lake.* properties — not "
+                f"registered via LakeTable.to_view"
+            )
+        path = props["lake.path"]
+        pinned = int(props["lake.snapshot_id"])
+        latest = LakeTable.load(spark, path)._latest_version()
+        return {
+            "path": path,
+            "pinned_snapshot_id": pinned,
+            "latest_snapshot_id": latest,
+            "current": latest == pinned,
+        }
 
     def _register_view(self, view_name: str, snapshot_id: int | None) -> str:
         parts = view_name.split(".")
@@ -870,8 +1003,21 @@ class LakeTable:
         if len(parts) == 2:
             self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {q(parts[0])}")
         ident = ".".join(q(p) for p in parts)
+        # resolve "latest" ONCE so the stamped property and the generated
+        # text describe the same snapshot even if a concurrent commit lands
+        resolved = (
+            snapshot_id if snapshot_id is not None else self._latest_version()
+        )
+
+        def esc(v: str) -> str:
+            return v.replace("'", "''")
+
+        props = (
+            f"TBLPROPERTIES ('lake.snapshot_id'='{int(resolved)}', "
+            f"'lake.path'='{esc(self.path)}')"
+        )
         self.spark.sql(
-            f"CREATE OR REPLACE VIEW {ident} AS {self.as_sql(snapshot_id)}"
+            f"CREATE OR REPLACE VIEW {ident} {props} AS {self.as_sql(resolved)}"
         )
         return ident
 
@@ -1395,6 +1541,7 @@ class LakeTable:
         key_cols: list[str],
         from_snapshot_id: int,
         to_snapshot_id: int | None = None,
+        validate_keys: bool = False,
     ) -> DataFrame:
         """Change data feed: row-level changes between two snapshots of THIS
         table (Delta CDF / Iceberg changelog-scan parity). Output is the
@@ -1409,7 +1556,11 @@ class LakeTable:
         duplicate rows per key — possible via plain :meth:`append` — a
         keyed diff cannot represent row multiplicity and the feed would
         mis-classify; same documented one-row-per-key contract as the
-        merge source.
+        merge source. ``validate_keys=True`` makes a violation LOUD: each
+        side's live rows over the diffed buckets are asserted unique per
+        key (two count jobs over only the changed buckets — opt-in because
+        even that is not free on a hot path) and a ValueError reports the
+        duplicate-key count instead of a silently wrong feed.
 
         Scale shape: buckets whose manifest reference is unchanged between
         the snapshots are skipped wholesale (O(buckets) metadata compare,
@@ -1443,11 +1594,25 @@ class LakeTable:
             df = df.drop(*[c for c in _META_COLS if c in df.columns])
             return _align_to_schema(df, user_schema)
 
+        old_live = live(old_snap, old_entries)
+        new_live = live(new_snap, new_entries)
+        if validate_keys:
+            for side, sid_, df_ in (
+                ("from_snapshot", old_snap["snapshot_id"], old_live),
+                ("to_snapshot", new_snap["snapshot_id"], new_live),
+            ):
+                total = df_.count()
+                uniq = df_.select(*key_cols).distinct().count()
+                if total != uniq:
+                    raise ValueError(
+                        f"changes(validate_keys=True): snapshot {sid_} "
+                        f"({side}) holds {total - uniq} duplicate row(s) for "
+                        f"{key_cols} across the diffed buckets — a keyed "
+                        f"change feed cannot represent row multiplicity "
+                        f"(dedupe the table, e.g. via merge_cdc, first)"
+                    )
         value_cols = [f.name for f in user_schema.fields if f.name not in key_cols]
-        diffed = classify_changes(
-            live(old_snap, old_entries), live(new_snap, new_entries),
-            key_cols, value_cols,
-        )
+        diffed = classify_changes(old_live, new_live, key_cols, value_cols)
         return diffed.filter(F.col("change_type") != CHANGE_UNCHANGED)
 
     # --------------------------------------------------------------- delete
@@ -1457,6 +1622,7 @@ class LakeTable:
         summary: dict | None = None,
         fence_key: str | None = None,
         where: list[tuple] | None = None,
+        tombstone_lsn: int | None = None,
     ) -> tuple[int, int]:
         """Predicate DELETE, copy-on-write — symmetric to :meth:`update`.
 
@@ -1469,6 +1635,18 @@ class LakeTable:
         key in untouched files — and a tombstoned key never matches (the
         delete targets live rows only).
 
+        CDC interplay — physical removal is NOT LSN-fenced: on a
+        :meth:`merge_cdc`-managed table, a later-arriving out-of-order
+        change event with ANY lsn (even one lower than the deleted row's)
+        finds no target row and re-inserts the key. When the delete must
+        win last-writer-wins against stragglers, pass ``tombstone_lsn``:
+        matching rows are then REWRITTEN as CDC tombstones
+        (``__deleted=true, __lsn=tombstone_lsn``) instead of removed, so any
+        subsequent event with a lower lsn loses the merge and the key stays
+        dead until :meth:`compact` purges the tombstone below the
+        out-of-order watermark. Requires the table to carry the CDC meta
+        columns (any table that has seen a merge does).
+
         ``where`` is the same stats-pruning hint as :meth:`update`: a
         conjunctive ``(col, op, value)`` list implied by ``condition`` that
         lets per-file min/max stats skip files before the match probe.
@@ -1478,7 +1656,9 @@ class LakeTable:
         first-class engine operation. Returns (snapshot_id, rows_deleted);
         a 0-match delete warns and commits nothing."""
         return self._retry_commit(
-            lambda: self._delete_once(condition, summary, fence_key, where)
+            lambda: self._delete_once(
+                condition, summary, fence_key, where, tombstone_lsn
+            )
         )
 
     def _delete_once(
@@ -1487,6 +1667,7 @@ class LakeTable:
         summary: dict | None,
         fence_key: str | None,
         where: list[tuple] | None = None,
+        tombstone_lsn: int | None = None,
     ) -> tuple[int, int]:
         import warnings
 
@@ -1496,6 +1677,15 @@ class LakeTable:
             return fenced, 0
         snap, existing, schema, live_cond = self._row_op_context(
             condition, where, snap)
+        if tombstone_lsn is not None:
+            names = [f.name for f in schema.fields]
+            if META_DELETED not in names or META_LSN not in names:
+                raise ValueError(
+                    f"delete(tombstone_lsn=...) needs the CDC meta columns "
+                    f"({META_LSN}, {META_DELETED}) — this table at "
+                    f"{self.path} has never seen merge_cdc; use a physical "
+                    f"delete (tombstone_lsn=None) instead"
+                )
         hit_counts = self._probe_hits(snap, existing, live_cond)
         rows_deleted = sum(hit_counts.values())
         if rows_deleted == 0:
@@ -1505,6 +1695,38 @@ class LakeTable:
             )
             return snap["snapshot_id"], 0
         by_path = {fe.path: fe for fe in existing}
+        if tombstone_lsn is not None:
+            # tombstoning form: rewrite every hit file with matching rows
+            # flipped to (deleted, lsn) — no drop shortcut, the tombstones
+            # must survive to fence out-of-order stragglers
+            affected = [by_path[p] for p in hit_counts]
+            rows = self._read_files(snap, affected, with_file_col=False)
+            # ONE select: live_cond reads META_DELETED, which this select
+            # also assigns — chained withColumn would re-evaluate the
+            # condition against the already-tombstoned row
+            rows = rows.select(*[
+                (
+                    F.when(live_cond, F.lit(True))
+                    .otherwise(F.col(c)).alias(c)
+                    if c == META_DELETED
+                    else F.when(live_cond, F.lit(int(tombstone_lsn)).cast("long"))
+                    .otherwise(F.col(c)).alias(c)
+                    if c == META_LSN
+                    else F.col(c)
+                )
+                for c in rows.columns
+            ])
+            rewritten = self._write_files(
+                _align_to_schema(rows, schema), snap, snap["current_schema_id"]
+            )
+            manifests = self._replace_entries(snap, set(hit_counts), rewritten)
+            nxt = self._next_snap(snap, "delete", manifests, summary, fence_key)
+            nxt["summary"].setdefault("rows_deleted", rows_deleted)
+            nxt["summary"].setdefault("mode", "tombstone")
+            nxt["summary"].setdefault("tombstone_lsn", int(tombstone_lsn))
+            nxt["summary"].setdefault("files_rewritten", len(affected))
+            nxt["summary"].setdefault("files_probed", len(existing))
+            return self._commit(nxt), rows_deleted
         # a file where every PHYSICAL row matches holds no tombstones and no
         # survivors — drop it outright, zero rewrite I/O (the common case
         # for partition-aligned deletes at scale)
@@ -1805,8 +2027,48 @@ class LakeTable:
                     f"{sorted(known)}"
                 )
             bounds = compute_bounds(self.read(), list(zorder_by))
+            degenerate = [c for c in zorder_by if not bounds.get(c)]
+            if degenerate:
+                # an empty cut-point list (empty table, all-NULL column)
+                # would persist a z-key that maps every row to bin 0 — the
+                # clustering, and the pruning benches assert on, silently
+                # disappears for that dimension. Refuse instead.
+                raise ValueError(
+                    f"zorder_by column(s) {degenerate} produced no quantile "
+                    f"cut points (empty table or all-NULL column) — "
+                    f"clustering on them would be degenerate; drop them from "
+                    f"zorder_by or populate the column first"
+                )
+            old_props = snap.get("properties") or {}
+            old_bounds = old_props.get("write.zorder.bounds") or {}
+            for c in zorder_by:
+                ob = old_bounds.get(c)
+                if not ob:
+                    continue
+                # appends between compacts reuse the PREVIOUS bounds; if the
+                # distribution drifted, rows piled into the extreme bins and
+                # per-file stats stopped separating on this dimension. The
+                # new quantiles measure that for free: the fraction of new
+                # cut points outside the old [first, last] cut range ≈ the
+                # data mass the old key lumped into its top/bottom bin.
+                nb = bounds[c]
+                outside = sum(1 for v in nb if v < ob[0] or v > ob[-1])
+                frac = outside / len(nb)
+                if frac > 0.2:
+                    import warnings
+
+                    warnings.warn(
+                        f"zorder bounds drift on {c!r}: ~{frac:.0%} of the "
+                        f"current distribution lay outside the previous "
+                        f"quantile range, so files appended since the last "
+                        f"compact were weakly clustered on this dimension "
+                        f"(pruning-lossy, never incorrect). This compact "
+                        f"refreshes the bounds; compact more often if the "
+                        f"column's distribution shifts continuously",
+                        stacklevel=3,
+                    )
             snap = dict(snap)
-            props = dict(snap.get("properties") or {})
+            props = dict(old_props)
             props.pop("write.sort_by", None)
             props["write.zorder.by"] = list(zorder_by)
             props["write.zorder.bounds"] = bounds

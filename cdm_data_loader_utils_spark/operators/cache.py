@@ -20,9 +20,50 @@ from pyspark.sql import DataFrame
 _ATTR = "_lake_cached_deps"
 
 
-def track(out: DataFrame, *deps: DataFrame) -> DataFrame:
-    """Record persisted dependency frames on the operator's result so
-    :func:`release` can unpersist them once the caller is done."""
+class _RddCacheHandle:
+    """Releasable handle for storage that ``DataFrame.unpersist`` cannot
+    reach — ``localCheckpoint`` pins its internal RDD directly in the
+    block manager, bypassing the SQL cache manager. Captured by RDD id and
+    unpersisted through ``JavaSparkContext.getPersistentRDDs`` (already
+    gone → no-op). NOTE: a locally-checkpointed frame has truncated lineage
+    and CANNOT recompute after its handle is released — release such
+    results only once fully consumed."""
+
+    def __init__(self, spark, rdd_ids: set[int]):
+        self._jsc = spark.sparkContext._jsc
+        self._ids = set(rdd_ids)
+
+    def unpersist(self) -> None:
+        m = self._jsc.getPersistentRDDs()
+        for i in self._ids:
+            r = m.get(i)
+            if r is not None:
+                r.unpersist()
+        self._ids = set()
+
+
+def local_checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, _RddCacheHandle]:
+    """``df.localCheckpoint(eager=True)`` plus a handle to the checkpoint's
+    pinned RDD blocks, so iterative operators can free superseded rounds
+    immediately and :func:`track` the final round for :func:`release` —
+    without this every loop iteration leaks one checkpoint's storage until
+    the session dies. The id capture diffs ``getPersistentRDDs`` around the
+    eager checkpoint; concurrent persists from OTHER driver threads during
+    that window would be over-captured (single-driver-thread operators, the
+    only users here, are unaffected)."""
+    spark = df.sparkSession
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    new_ids = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    return out, _RddCacheHandle(spark, new_ids)
+
+
+def track(out: DataFrame, *deps) -> DataFrame:
+    """Record persisted dependencies (DataFrames or
+    :class:`_RddCacheHandle`-like objects exposing ``unpersist()``) on the
+    operator's result so :func:`release` can unpersist them once the caller
+    is done."""
     merged = list(getattr(out, _ATTR, ())) + list(deps)
     setattr(out, _ATTR, merged)
     return out
@@ -39,9 +80,11 @@ def propagate(out: DataFrame, *sources: DataFrame) -> DataFrame:
 
 
 def release(df: DataFrame) -> int:
-    """Unpersist every internal cache recorded on ``df`` (and leave the
-    frame usable — it just recomputes if re-executed). Returns the number
-    of caches released. Safe on any DataFrame."""
+    """Unpersist every internal cache recorded on ``df``. Plain persisted
+    deps leave the frame usable (it recomputes if re-executed); checkpoint
+    handles (:class:`_RddCacheHandle` — e.g. ``connected_components``
+    internals) do NOT — release those results only after consuming them.
+    Returns the number of caches released. Safe on any DataFrame."""
     deps = list(getattr(df, _ATTR, ()))
     for d in deps:
         try:

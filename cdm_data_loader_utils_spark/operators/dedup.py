@@ -328,8 +328,16 @@ def connected_components(
     on the vertex id (propagate + shortcut); lineage is truncated every
     round via localCheckpoint so the plan stays flat at any iteration count
     (swap for ``checkpoint`` with a cluster checkpoint dir in production).
-    No driver-side data beyond the per-round convergence count.
+    No driver-side data beyond the per-round convergence count. Each
+    round's superseded checkpoint is unpersisted as soon as the next one
+    lands (a long dedup loop must not accumulate one pinned block set per
+    iteration); the FINAL round's blocks — which the returned frame reads
+    from — are tracked for :func:`cache.release` alongside the upstream
+    pair generator's persists (release only after consuming the result:
+    truncated lineage cannot recompute).
     """
+    from .cache import local_checkpoint_tracked, track
+
     e = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -337,15 +345,15 @@ def connected_components(
     # automatically includes the vertex's own label, so the loop body needs
     # no union (Spark 4's Union constraint rewrite also mishandles unions of
     # self-referencing checkpointed lineages)
-    sym = (
+    sym, sym_h = local_checkpoint_tracked(
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .unionByName(e.select(F.col("src"), F.col("src").alias("dst")))
         .unionByName(e.select(F.col("dst").alias("src"), F.col("dst")))
         .distinct()
-    ).localCheckpoint(eager=True)
-    labels = (
+    )
+    labels, labels_h = local_checkpoint_tracked(
         sym.select("src").distinct().withColumn("label", F.col("src"))
-    ).localCheckpoint(eager=True)
+    )
     converged = False
     for _ in range(max_iter):
         # 1. propagate: label(v) = min over {v} ∪ neighbors(v) of labels —
@@ -357,7 +365,7 @@ def connected_components(
         )
         # 2. pointer jump: label(v) ← label(label(v)) — collapses chains
         #    logarithmically instead of one hop per round
-        jumped = (
+        jumped, jumped_h = local_checkpoint_tracked(
             new_labels.alias("a")
             .join(
                 new_labels.select(
@@ -367,18 +375,22 @@ def connected_components(
                 "left",
             )
             .select(F.col("src"), F.coalesce("ll", "label").alias("label"))
-        ).localCheckpoint(eager=True)
+        )
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "src")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = jumped
+        # previous round's checkpoint is now superseded — free its blocks
+        labels_h.unpersist()
+        labels, labels_h = jumped, jumped_h
         if changed == 0:
             converged = True
             break
     if not converged:
+        sym_h.unpersist()
+        labels_h.unpersist()
         # Partially-propagated labels are a SILENT wrong answer (two members
         # of one cluster keep different representatives) — never return them
         # quietly. Pointer jumping converges in O(log diameter) rounds, so
@@ -390,8 +402,9 @@ def connected_components(
         )
     from .cache import propagate
 
-    return propagate(
-        labels.select(F.col("src").alias("id"), "label"), pairs
+    return track(
+        propagate(labels.select(F.col("src").alias("id"), "label"), pairs),
+        sym_h, labels_h,
     )
 
 

@@ -114,8 +114,19 @@ def apply_batch(
             .agg(F.count("*").alias("applied"), F.max("lsn").alias("wm"))
             .collect()
         ]
-        tally = obs.get
-        rows_read, rows_valid = int(tally["read"]), int(tally["valid"] or 0)
+        try:
+            tally = obs.get
+            rows_read, rows_valid = int(tally["read"]), int(tally["valid"] or 0)
+        except Exception:  # noqa: BLE001 — see below; fallback is exact
+            # When EVERY row of the batch is filtered out (all-invalid
+            # batch, or an empty local batch), AQE's empty-relation
+            # propagation prunes the CollectMetrics node — the Observation
+            # never fires and .get throws a bare JVM assertion. A poisoned
+            # upstream file must reject its rows, not crash the replay:
+            # recompute the two tallies explicitly (only this degenerate
+            # path pays the extra scan).
+            rows_read = annotated.count()
+            rows_valid = valid.count()
         rows_invalid = rows_read - rows_valid
         if audit is not None and rows_invalid:
             # invalid rows exist: pay the second scan only in that case
@@ -265,6 +276,10 @@ def stream_events(
     keeps polling ``events_dir`` for new files. A live tail never
     terminates on its own: it returns the running ``StreamingQuery`` when
     ``timeout_sec`` is None, else stops cleanly after the timeout.
+    ``timeout_sec`` also bounds the default AvailableNow replay (stop +
+    checkpoint after the deadline; the next run RESUMES from the
+    checkpoint) — it is honored in both trigger modes, never silently
+    ignored.
 
     The streaming checkpoint gives at-least-once micro-batches across
     restarts; :func:`apply_batch`'s snapshot-log fencing upgrades that to
@@ -288,7 +303,14 @@ def stream_events(
     )
     if trigger is None:
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
+        if timeout_sec is None:
+            q.awaitTermination()
+            return None
+        try:
+            q.awaitTermination(timeout=timeout_sec)
+        finally:
+            q.stop()
+            q.awaitTermination()
         return None
     q = writer.trigger(processingTime=trigger).start()
     if timeout_sec is None:

@@ -255,6 +255,104 @@ def test_live_view_auto_refreshes_on_commit(spark, warehouse):
     assert spark.sql(f"SELECT count(*) AS n FROM {pinned}").collect()[0].n == 9
 
 
+def test_pinned_reregister_of_live_name_stays_pinned(spark, warehouse):
+    """Re-registering a LIVE view name with a snapshot pin must DEMOTE it
+    from the auto-refresh set — otherwise the next commit silently re-points
+    the pinned time-travel view at latest."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(6)))
+    ident = t.to_view("pin.v")                    # live
+    pinned_sid = t.snapshot_id
+    t.to_view("pin.v", snapshot_id=pinned_sid)    # SAME name, now pinned
+    t.append(_df(spark, _rows(4, base_day=9)))
+    n = spark.sql(f"SELECT count(*) AS n FROM {ident}").collect()[0].n
+    assert n == 6, "pinned-over-live view was resurrected to latest by commit"
+
+
+def test_drop_view_is_not_resurrected_by_commit(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(4)))
+    ident = t.to_view("gone.v")
+    assert spark.sql(f"SELECT count(*) AS n FROM {ident}").collect()[0].n == 4
+    t.drop_view("gone.v")
+    t.append(_df(spark, _rows(2, base_day=9)))  # auto-refresh must NOT recreate
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|not found|cannot be found"):
+        spark.sql(f"SELECT count(*) AS n FROM {ident}").collect()
+
+
+def test_view_status_detects_cross_handle_staleness(spark, warehouse):
+    """Any session-catalog reader can ask whether a to_view view is current:
+    the pinned snapshot id is stamped as a view property and compared
+    against the table's latest snapshot (metadata-only)."""
+    path = os.path.join(warehouse, "t")
+    a = LakeTable.create(spark, path, SCHEMA, bucket_by="k", bucket_count=2)
+    a.append(_df(spark, _rows(5)))
+    a.to_view("st.v")
+    s = LakeTable.view_status(spark, "st.v")
+    assert s["current"] and s["pinned_snapshot_id"] == a.snapshot_id
+    # a SECOND handle (stand-in for another process) commits
+    b = LakeTable.load(spark, path)
+    b.append(_df(spark, _rows(3, base_day=9)))
+    s = LakeTable.view_status(spark, "st.v")
+    assert not s["current"]
+    assert s["latest_snapshot_id"] == b.snapshot_id > s["pinned_snapshot_id"]
+    # re-registering brings it current again
+    a.to_view("st.v")
+    assert LakeTable.view_status(spark, "st.v")["current"]
+
+
+def test_catalog_refresh_views_repoints_only_moved_tables(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    t1 = cat.create_table("ns.one", SCHEMA, bucket_by="k", bucket_count=2)
+    t2 = cat.create_table("ns.two", SCHEMA, bucket_by="k", bucket_count=2)
+    t1.append(_df(spark, _rows(4)))
+    t2.append(_df(spark, _rows(6)))
+    cat.register_views()
+    # cross-handle commit to ONE table only
+    other = LakeTable.load(spark, cat.resolve("ns.one"))
+    other.append(_df(spark, _rows(2, base_day=9)))
+    refreshed = cat.refresh_views()
+    assert set(refreshed) == {"ns.one"}, refreshed
+    assert spark.sql("SELECT count(*) AS n FROM ns.one").collect()[0].n == 6
+    assert spark.sql("SELECT count(*) AS n FROM ns.two").collect()[0].n == 6
+    # nothing moved since → pure metadata no-op
+    assert cat.refresh_views() == {}
+
+
+def test_catalog_drop_drops_registered_view(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    t = cat.create_table("dz.t", SCHEMA)
+    t.append(_df(spark, _rows(3)))
+    cat.register_views()
+    assert spark.sql("SELECT count(*) AS n FROM dz.t").collect()[0].n == 3
+    cat.drop("dz.t")
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|not found|cannot be found"):
+        spark.sql("SELECT count(*) AS n FROM dz.t").collect()
+
+
+def test_view_text_is_o_directories_not_o_files(spark, warehouse):
+    """Many files per bucket must collapse to per-directory glob members:
+    the view text length tracks data DIRECTORIES (buckets × commits), not
+    files, and never embeds individual part-file names for clean dirs."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(64)))
+    t.compact(sort_by=["ts"], target_files_per_bucket=8)  # 2 buckets × ~8 files
+    assert len(t.files()) > 4
+    sql = t.as_sql()
+    assert "part-" not in sql, "view text still enumerates part files"
+    assert "/*.parquet" in sql
+    got = spark.sql(sql)
+    assert got.count() == 64
+    # correctness through a row-op that orphans on-disk files: the dirs
+    # stop being fully referenced, the text falls back for them, results
+    # stay exact
+    t.delete(F.col("v") < 10)
+    assert spark.sql(t.as_sql()).count() == 54
+
+
 def test_as_sql_one_scan_per_schema_group(spark, warehouse):
     """View text holds ONE multi-path scan per schema group (brace glob),
     not one UNION ALL branch per file — and still reads correctly across an
@@ -380,6 +478,55 @@ def test_zorder_multi_dim_pruning(spark, warehouse):
     zo.append(_df(spark, rows[:256]))
     _, skip2 = zo.plan_files(where=vr)
     assert len(skip2) >= len(zo_v_skip), "appended files must stay clustered"
+
+
+def test_zorder_degenerate_bounds_rejected(spark, warehouse):
+    """An all-NULL column yields zero quantile cut points — persisting them
+    would silently collapse that dimension's clustering to bin 0; compact
+    must refuse loudly instead."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(spark.createDataFrame(
+        [(f"k{i}", None, datetime.datetime(2026, 1, 1, 0, 0, i))
+         for i in range(8)],
+        SCHEMA,
+    ))
+    with pytest.raises(ValueError, match="cut points"):
+        t.compact(zorder_by=["v"])
+    # the multi-column form names only the offending column
+    with pytest.raises(ValueError, match=r"\['v'\]"):
+        t.compact(zorder_by=["ts", "v"])
+
+
+def test_zorder_bounds_drift_warns_on_recompact(spark, warehouse):
+    """Appends between compacts reuse the persisted quantile bounds; when
+    the distribution shifts wholesale, re-compacting must WARN that the
+    interim files were weakly clustered (and refresh the bounds)."""
+    import warnings as _w
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=1)
+    t.append(_df(spark, [
+        (f"k{i}", i, datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=i))
+        for i in range(512)
+    ]))
+    t.compact(zorder_by=["v"], target_files_per_bucket=4)
+    old_bounds = t.snapshot()["properties"]["write.zorder.bounds"]["v"]
+    # drifted append: every v far above the old quantile range
+    t.append(_df(spark, [
+        (f"d{i}", 10_000_000 + i,
+         datetime.datetime(2026, 2, 1) + datetime.timedelta(seconds=i))
+        for i in range(512)
+    ]))
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        t.compact(zorder_by=["v"], target_files_per_bucket=4)
+    assert any("drift" in str(x.message) for x in w), [str(x.message) for x in w]
+    assert t.snapshot()["properties"]["write.zorder.bounds"]["v"] != old_bounds
+    # same-distribution recompact stays silent
+    with _w.catch_warnings(record=True) as w2:
+        _w.simplefilter("always")
+        t.compact(zorder_by=["v"], target_files_per_bucket=4)
+    assert not any("drift" in str(x.message) for x in w2)
 
 
 def test_zorder_rejects_string_and_unknown_columns(spark, warehouse):

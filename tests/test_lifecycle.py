@@ -136,6 +136,57 @@ def test_delete_preserves_tombstones_then_merge_lww(spark, warehouse):
     assert t.read().count() == 0
 
 
+def test_delete_physical_is_not_lsn_fenced_but_tombstone_is(spark, warehouse):
+    """Documented CDC interplay: a PHYSICAL delete leaves no LSN fence, so a
+    late out-of-order event (lower lsn than the deleted row) re-inserts the
+    key; delete(tombstone_lsn=...) writes a CDC tombstone instead and wins
+    last-writer-wins against the same straggler."""
+    src = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+
+    def fresh(name):
+        t = LakeTable.create(
+            spark, os.path.join(warehouse, name), SCHEMA,
+            bucket_by="k", bucket_count=2,
+        )
+        t.merge_cdc(
+            spark.createDataFrame([("a", 1, "i", 100), ("b", 2, "i", 100)], src),
+            key_cols=["k"],
+        )
+        return t
+
+    # physical removal: straggler with lsn 50 < 100 resurrects "a"
+    phys = fresh("phys")
+    _, n = phys.delete(F.col("k") == "a")
+    assert n == 1
+    phys.merge_cdc(
+        spark.createDataFrame([("a", 99, "i", 50)], src), key_cols=["k"])
+    assert {(r.k, r.v) for r in phys.read().collect()} == {("b", 2), ("a", 99)}
+
+    # tombstoning delete: same straggler loses LWW against lsn 500
+    tomb = fresh("tomb")
+    _, n = tomb.delete(F.col("k") == "a", tombstone_lsn=500)
+    assert n == 1
+    assert tomb.snapshot()["summary"]["mode"] == "tombstone"
+    assert {(r.k, r.v) for r in tomb.read().collect()} == {("b", 2)}
+    tomb.merge_cdc(
+        spark.createDataFrame([("a", 99, "i", 50)], src), key_cols=["k"])
+    assert {(r.k, r.v) for r in tomb.read().collect()} == {("b", 2)}
+    # ...but a genuinely NEWER event (lsn 600 > 500) re-creates the key
+    tomb.merge_cdc(
+        spark.createDataFrame([("a", 7, "i", 600)], src), key_cols=["k"])
+    assert {(r.k, r.v) for r in tomb.read().collect()} == {("b", 2), ("a", 7)}
+
+
+def test_delete_tombstone_lsn_requires_cdc_meta_columns(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1)]))
+    with pytest.raises(ValueError, match="meta columns"):
+        t.delete(F.col("k") == "a", tombstone_lsn=10)
+
+
 def test_delete_where_hint_prunes_probe(spark, warehouse):
     t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
     t.append(_df(spark, [("a", 1), ("b", 2)]).coalesce(1))
@@ -223,6 +274,36 @@ def test_changes_skips_unchanged_buckets(spark, warehouse):
         (r.v, r.change_type) for r in t.changes(["v"], v_from).collect()
     }
     assert got_by_v == {(7, "deleted"), (700, "new")}
+
+
+def test_changes_validate_keys_raises_on_duplicates(spark, warehouse):
+    """The one-row-per-key contract of changes() is documented; the opt-in
+    validate_keys=True makes a violation (duplicate-key plain append) a loud
+    ValueError instead of a silently misclassified feed."""
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "t"), SCHEMA, bucket_by="k",
+        bucket_count=4,
+    )
+    t.append(_df(spark, [("a", 1), ("b", 2)]))
+    v_from = t.snapshot_id
+    t.append(_df(spark, [("b", 20)]))  # duplicate key "b" on the new side
+    # default: documented contract only — no validation cost, no raise
+    t.changes(["k"], v_from).collect()
+    with pytest.raises(ValueError, match="duplicate"):
+        t.changes(["k"], v_from, validate_keys=True).collect()
+    # a clean table passes the validated path
+    c = LakeTable.create(
+        spark, os.path.join(warehouse, "c"), SCHEMA, bucket_by="k",
+        bucket_count=4,
+    )
+    c.append(_df(spark, [("a", 1), ("b", 2)]))
+    v0 = c.snapshot_id
+    c.update(F.col("k") == "b", {"v": F.lit(22)})
+    got = {
+        (r.k, r.change_type)
+        for r in c.changes(["k"], v0, validate_keys=True).collect()
+    }
+    assert got == {("b", "updated")}
 
 
 def test_changes_feed_replicates_downstream_table(spark, warehouse):

@@ -238,3 +238,51 @@ def test_structured_streaming_processing_time_live_tail(spark, warehouse):
         q.stop()
         q.awaitTermination()
     assert not q.isActive
+
+
+def test_availablenow_honors_timeout_and_resumes(spark, warehouse):
+    """timeout_sec must bound the DEFAULT AvailableNow replay too (it was
+    previously honored only with a processing-time trigger): a tight
+    deadline stops the query mid-replay without error, and a second
+    un-bounded run RESUMES from the checkpoint to the exact oracle state."""
+    events = _events(spark)
+    events_dir = os.path.join(warehouse, "events_in")
+    events.repartition(8).write.parquet(events_dir)
+    table = _mk_table(spark, warehouse)
+    audit = AuditStore(spark, os.path.join(warehouse, "audit"))
+    out = stream_events(
+        spark, events_dir, table, audit, "run-bounded",
+        checkpoint_dir=os.path.join(warehouse, "ckpt"),
+        max_files_per_trigger=1,   # many micro-batches → deadline bites
+        timeout_sec=0.5,
+    )
+    assert out is None
+    # finish the replay: same run id, same checkpoint, no timeout
+    stream_events(
+        spark, events_dir, table, audit, "run-bounded",
+        checkpoint_dir=os.path.join(warehouse, "ckpt"),
+        max_files_per_trigger=8,
+    )
+    _check_final(table, events)
+
+
+def test_all_invalid_batch_rejects_instead_of_crashing(spark, warehouse):
+    """A micro-batch where EVERY row fails validation must reject the rows
+    and commit nothing — not crash. (AQE's empty-relation propagation prunes
+    the CollectMetrics node when the valid-filter eliminates the whole
+    batch, so the metrics Observation never fires; found by the r5 verify
+    drive, fixed with an explicit-count fallback in apply_batch.)"""
+    table = _mk_table(spark, warehouse)
+    audit = AuditStore(spark, os.path.join(warehouse, "audit"))
+    bad = spark.createDataFrame(
+        [("c1", -5, "user", "x", None, None, 10, "i", 0),
+         ("c2", 1, "user", "y", None, None, 11, "zap", 0)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, lsn long, op string, batch_id int",
+    )
+    replay_batches(bad, table, audit, "run-all-bad")
+    assert table.read().count() == 0
+    m = audit.run_metrics("run-all-bad").collect()[0]
+    assert m["rows_read"] == 2 and m["rows_invalid"] == 2
+    assert audit.rejects.read().filter(
+        F.col("run_id") == "run-all-bad").count() == 2

@@ -86,6 +86,10 @@ def main() -> None:
     ap.add_argument("--data", default="/tmp/sf1_neardup")
     ap.add_argument("--gen", action="store_true")
     ap.add_argument("--label", default=None)
+    ap.add_argument(
+        "--family", default="neardup", choices=["neardup", "ann"],
+        help="neardup = pair generators; ann = ANN top-k legs (r5)",
+    )
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -101,17 +105,33 @@ def main() -> None:
 
     docs = spark.read.parquet(os.path.join(args.data, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(args.data, "embeddings.parquet"))
-    runs = {
-        "minhash_lsh_near_dups": lambda: D.minhash_lsh_pairs(
-            docs, n=1, num_hashes=64, bands=16, threshold=0.6
-        ),
-        "simhash_near_dups": lambda: D.simhash_pairs(
-            docs, max_hamming=3, bands=4
-        ),
-        "embedding_neardup_blocked": lambda: S.cosine_pairs_blocked(
-            emb, threshold=0.4
-        ),
-    }
+    if args.family == "ann":
+        # same parameters as the sf0.1 gate queries (queries.py q_ann_lsh_topk
+        # / q_ivf_ann_topk) over the 10× embedding table — the sf1 scale
+        # evidence the r4 verdict flagged as missing for this family
+        runs = {
+            "cosine_topk_exact": lambda: S.cosine_topk(
+                emb, [1.0] * 64, k=10
+            ),
+            "ann_lsh_topk": lambda: S.ann_topk_lsh(
+                emb, [1.0] * 64, k=10, num_planes=4
+            ),
+            "ivf_ann_topk": lambda: S.ivf_topk(
+                emb, [1.0] * 64, k=10, n_centroids=8, nprobe=2
+            ),
+        }
+    else:
+        runs = {
+            "minhash_lsh_near_dups": lambda: D.minhash_lsh_pairs(
+                docs, n=1, num_hashes=64, bands=16, threshold=0.6
+            ),
+            "simhash_near_dups": lambda: D.simhash_pairs(
+                docs, max_hamming=3, bands=4
+            ),
+            "embedding_neardup_blocked": lambda: S.cosine_pairs_blocked(
+                emb, threshold=0.4
+            ),
+        }
     try:
         from cdm_data_loader_utils_spark.operators.cache import release
     except ImportError:  # older checkouts in the interleave lack the helper
