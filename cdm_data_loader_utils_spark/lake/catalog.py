@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from .fs import VersionedJsonLog, filesystem_for
-from .table import LakeTable
+from .table import LakeTable, _view_ident
 
 _CATALOG_DIR = "_catalog"
 
@@ -144,8 +144,15 @@ class Catalog:
             if not LakeTable.exists(path, spark=self.spark):
                 continue
             t = LakeTable.load(self.spark, path)
+            # pin from a read taken BEFORE registration: if a commit lands
+            # between this read and to_view's own latest-resolve, the pin is
+            # ≤ the snapshot the view text actually pinned — the safe
+            # direction (worst case one redundant refresh). Reading AFTER
+            # could record a NEWER id than the text and make refresh_views
+            # skip a genuinely stale view forever.
+            sid = t.snapshot_id
             out[name] = t.to_view(name)
-            pins[name] = (path, t.snapshot_id)
+            pins[name] = (path, sid)
         return out
 
     @property
@@ -175,11 +182,12 @@ class Catalog:
             if not LakeTable.exists(path, spark=self.spark):
                 continue
             t = LakeTable.load(self.spark, path)
+            sid = t.snapshot_id
             pin = pins.get(name)
-            if pin is not None and pin == (path, t.snapshot_id):
+            if pin is not None and pin == (path, sid):
                 continue  # fast no-op: nothing committed since registration
             out[name] = t.to_view(name)
-            pins[name] = (path, t.snapshot_id)
+            pins[name] = (path, sid)
         return out
 
     def drop(self, name: str, purge: bool = False) -> None:
@@ -187,8 +195,6 @@ class Catalog:
         and DROP any SQL view this catalog registered for it — a dangling
         view would keep serving the dropped table's pinned files until
         ``expire_snapshots``/``purge`` made it error out confusingly."""
-        from .table import _view_ident
-
         dropped: list[str] = []
 
         def _mut(m: dict):
@@ -198,7 +204,25 @@ class Catalog:
             return m
 
         self._cas(_mut)
-        if self._view_pins.pop(name, None) is not None:
+        self._view_pins.pop(name, None)
+        if dropped and self._view_for_table(name, dropped[-1]):
             self.spark.sql(f"DROP VIEW IF EXISTS {_view_ident(name)}")
         if purge and dropped:
             self.fs.delete_dir(dropped[-1])
+
+    def _view_for_table(self, name: str, path: str) -> bool:
+        """Does a session view named ``name`` serve the lake table at
+        ``path``? Decided from the ``lake.path`` property STAMPED on the
+        view, not this object's in-memory pins — so a drop removes views
+        registered by any Catalog instance or handle in this session, and
+        never drops an unrelated user view that happens to share the name."""
+        try:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {_view_ident(name)}"
+            ).collect()
+        except Exception:  # noqa: BLE001 — no such view
+            return False
+        props = {r["key"]: r["value"] for r in rows}
+        # property read, not view_status: the table itself may already be
+        # gone (concurrent purge) and must not block dropping its view
+        return props.get("lake.path") == self.fs.normalize(path)

@@ -64,14 +64,23 @@ META_LSN = "__lsn"
 META_DELETED = "__deleted"
 _META_COLS = (META_LSN, META_DELETED)
 
-def _view_ident(view_name: str) -> str:
-    """Quoted SQL identifier for a ``db.view`` name — the same collapsing
-    (``a.b.c`` → ``a_b.c``) and backtick-escaping :meth:`LakeTable.to_view`
-    applies, factored out so drop/status paths address the same object."""
+def _view_parts(view_name: str) -> list[str]:
+    """``db.view`` name split with >2-part collapsing (``a.b.c`` → ``a_b``,
+    ``c``) — the ONE place the rule lives, so create/drop/status paths can
+    never address different objects."""
     parts = view_name.split(".")
     if len(parts) > 2:
         parts = ["_".join(parts[:-1]), parts[-1]]
-    return ".".join("`" + p.replace("`", "``") + "`" for p in parts)
+    return parts
+
+
+def _q_ident(ident: str) -> str:
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def _view_ident(view_name: str) -> str:
+    """Fully-quoted SQL identifier for a :meth:`LakeTable.to_view` name."""
+    return ".".join(_q_ident(p) for p in _view_parts(view_name))
 
 
 _LOG_DIR = "_log"
@@ -620,9 +629,17 @@ class LakeTable:
         if sigs is None:
             sigs = self._view_sig = {}
         for name in names:
-            if sig is not None and sigs.get(name) == sig:
-                continue
             try:
+                if sig is not None and sigs.get(name) == sig:
+                    # visible state unchanged (fence/properties-only
+                    # commit) — skip the O(directories) text regeneration,
+                    # but still advance the freshness stamp or view_status
+                    # would report this view stale forever
+                    self.spark.sql(
+                        f"ALTER VIEW {_view_ident(name)} SET TBLPROPERTIES "
+                        f"('lake.snapshot_id'='{int(snap['snapshot_id'])}')"
+                    )
+                    continue
                 self._register_view(name, None)
                 if sig is not None:
                     sigs[name] = sig
@@ -807,10 +824,38 @@ class LakeTable:
                 f"FROM {ref}) IS NULL"
             )
 
+        # ONE recursive listing of data/ for the whole registration (lazy:
+        # empty and single-file-per-group tables never pay it), keyed by
+        # root-RELATIVE dirname with root-relative file sets. Paths from
+        # walk_files are normalized through _uri_to_rel so Hadoop listings
+        # (fully-qualified, possibly percent-encoded URIs) compare equal to
+        # manifest-relative paths — a raw string compare would silently
+        # disable the directory-glob form on exactly the object-store
+        # deployments it targets. A per-directory walk instead of this
+        # single one would issue O(directories) sequential LIST calls on
+        # every live-view refresh, i.e. on every commit.
+        _disk_cell: list[dict[str, set[str]] | None] = []
+
+        def disk_map() -> dict[str, set[str]] | None:
+            if not _disk_cell:
+                try:
+                    m: dict[str, set[str]] = {}
+                    for f in self.fs.walk_files(
+                        self.fs.join(self.path, _DATA_DIR)
+                    ):
+                        rel = self._uri_to_rel(f)
+                        if rel.endswith(".parquet"):
+                            m.setdefault(posixpath.dirname(rel), set()).add(rel)
+                    _disk_cell.append(m)
+                except Exception:  # noqa: BLE001 — listing failure ⇒ fall back
+                    _disk_cell.append(None)
+            return _disk_cell[0]
+
         def group_refs(
             entries: list[tuple[str, int]]
         ) -> list[tuple[str, str | None]]:
             """(scan ref, guard) list for one schema group — at most two.
+            ``entries`` carry root-relative manifest paths.
 
             Preferred form keeps the view text O(data directories), i.e.
             O(buckets × commits-since-compact), independent of files per
@@ -828,7 +873,7 @@ class LakeTable:
             per-file refs. Guards make any disk/manifest divergence a
             runtime error, never a silent partial result."""
             if len(entries) == 1:
-                return [(f"parquet.`{entries[0][0]}`", None)]
+                return [(f"parquet.`{root}{entries[0][0]}`", None)]
             by_dir: dict[str, list[tuple[str, int]]] = {}
             for p, r in entries:
                 by_dir.setdefault(posixpath.dirname(p), []).append((p, r))
@@ -836,24 +881,17 @@ class LakeTable:
             dir_rows = dir_files = 0
             leftover: list[tuple[str, int]] = []
             for d, items in sorted(by_dir.items()):
-                rel = d[len(root):] if d.startswith(root) else None
                 ok = (
-                    rel is not None
-                    and bool(rel)
-                    and not (_GLOB_CHARS & set(rel))
+                    bool(d)
+                    and not (_GLOB_CHARS & set(d))
                     and all(r >= 0 for _, r in items)
                 )
                 if ok:
-                    try:
-                        disk = {
-                            f for f in self.fs.walk_files(d)
-                            if f.endswith(".parquet")
-                        }
-                    except Exception:  # noqa: BLE001 — listing failure ⇒ fall back
-                        disk = None
-                    ok = disk == {p for p, _ in items}
+                    disk = disk_map()
+                    ok = disk is not None and \
+                        disk.get(d, set()) == {p for p, _ in items}
                 if ok:
-                    dir_rels.append(rel)
+                    dir_rels.append(d)
                     dir_rows += sum(r for _, r in items)
                     dir_files += len(items)
                 else:
@@ -871,28 +909,22 @@ class LakeTable:
                     f"{dir_files} files in {len(dir_rels)} directories",
                 )))
             if leftover:
-                paths = sorted(p for p, _ in leftover)
-                globbable = all(
-                    not (_GLOB_CHARS & set(p)) and p.startswith(root)
-                    for p in paths
-                )
+                rels = sorted(p for p, _ in leftover)
+                globbable = all(not (_GLOB_CHARS & set(p)) for p in rels)
                 rows_known = all(r >= 0 for _, r in leftover)
-                if len(paths) == 1 or not globbable or not rows_known:
-                    out.extend((f"parquet.`{p}`", None) for p in paths)
+                if len(rels) == 1 or not globbable or not rows_known:
+                    out.extend((f"parquet.`{root}{p}`", None) for p in rels)
                 else:
-                    rels = [p[len(root):] for p in paths]
                     ref = f"parquet.`{root}{{{','.join(rels)}}}`"
                     out.append((ref, guard_for(
                         ref, sum(r for _, r in leftover),
-                        f"{len(paths)} files",
+                        f"{len(rels)} files",
                     )))
             return out
 
         groups: dict[int, list[tuple[str, int]]] = {}
         for fe in self.files(snap):
-            groups.setdefault(fe.schema_id, []).append(
-                (self.fs.join(self.path, fe.path), fe.rows)
-            )
+            groups.setdefault(fe.schema_id, []).append((fe.path, fe.rows))
         has_del = META_DELETED in [f.name for f in cur.fields]
         selects: list[str] = []
         for sid, entries in groups.items():
@@ -993,16 +1025,12 @@ class LakeTable:
         }
 
     def _register_view(self, view_name: str, snapshot_id: int | None) -> str:
-        parts = view_name.split(".")
-        if len(parts) > 2:
-            parts = ["_".join(parts[:-1]), parts[-1]]
-
-        def q(ident: str) -> str:
-            return "`" + ident.replace("`", "``") + "`"
-
+        parts = _view_parts(view_name)
         if len(parts) == 2:
-            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {q(parts[0])}")
-        ident = ".".join(q(p) for p in parts)
+            self.spark.sql(
+                f"CREATE DATABASE IF NOT EXISTS {_q_ident(parts[0])}"
+            )
+        ident = _view_ident(view_name)
         # resolve "latest" ONCE so the stamped property and the generated
         # text describe the same snapshot even if a concurrent commit lands
         resolved = (
@@ -1641,7 +1669,8 @@ class LakeTable:
         finds no target row and re-inserts the key. When the delete must
         win last-writer-wins against stragglers, pass ``tombstone_lsn``:
         matching rows are then REWRITTEN as CDC tombstones
-        (``__deleted=true, __lsn=tombstone_lsn``) instead of removed, so any
+        (``__deleted=true``, ``__lsn = max(row's own lsn, tombstone_lsn)``
+        — never lowered) instead of removed, so any
         subsequent event with a lower lsn loses the merge and the key stays
         dead until :meth:`compact` purges the tombstone below the
         out-of-order watermark. Requires the table to carry the CDC meta
@@ -1703,13 +1732,21 @@ class LakeTable:
             rows = self._read_files(snap, affected, with_file_col=False)
             # ONE select: live_cond reads META_DELETED, which this select
             # also assigns — chained withColumn would re-evaluate the
-            # condition against the already-tombstoned row
+            # condition against the already-tombstoned row. The tombstone
+            # lsn is clamped to ≥ the row's OWN lsn (greatest ignores a
+            # NULL row lsn): stamping a LOWER value would let a straggler
+            # newer than the deleted state but older than the caller's
+            # watermark win LWW and resurrect the key — the exact hazard
+            # this mode exists to fence.
+            stamped_lsn = F.greatest(
+                F.col(META_LSN), F.lit(int(tombstone_lsn)).cast("long")
+            )
             rows = rows.select(*[
                 (
                     F.when(live_cond, F.lit(True))
                     .otherwise(F.col(c)).alias(c)
                     if c == META_DELETED
-                    else F.when(live_cond, F.lit(int(tombstone_lsn)).cast("long"))
+                    else F.when(live_cond, stamped_lsn)
                     .otherwise(F.col(c)).alias(c)
                     if c == META_LSN
                     else F.col(c)

@@ -388,8 +388,11 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    # the returned frame reads only the FINAL labels checkpoint; the
+    # symmetric closure (the largest intermediate, ~4x the edge count) is
+    # dead once the loop ends — free it now rather than at release()
+    sym_h.unpersist()
     if not converged:
-        sym_h.unpersist()
         labels_h.unpersist()
         # Partially-propagated labels are a SILENT wrong answer (two members
         # of one cluster keep different representatives) — never return them
@@ -404,7 +407,7 @@ def connected_components(
 
     return track(
         propagate(labels.select(F.col("src").alias("id"), "label"), pairs),
-        sym_h, labels_h,
+        labels_h,
     )
 
 

@@ -327,9 +327,28 @@ def test_catalog_drop_drops_registered_view(spark, warehouse):
     t.append(_df(spark, _rows(3)))
     cat.register_views()
     assert spark.sql("SELECT count(*) AS n FROM dz.t").collect()[0].n == 3
-    cat.drop("dz.t")
+    # drop through a SECOND catalog instance (stand-in for another process'
+    # handle): the decision comes from the view's stamped lake.path, not
+    # this object's in-memory pins
+    cat2 = Catalog(spark, warehouse)
+    cat2.drop("dz.t")
     with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|not found|cannot be found"):
         spark.sql("SELECT count(*) AS n FROM dz.t").collect()
+
+
+def test_view_status_current_after_metadata_only_commit(spark, warehouse):
+    """A commit whose manifest map is unchanged (fence/properties-only)
+    skips view-text regeneration — but must still advance the freshness
+    stamp, or view_status reports the view stale forever."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(6)))
+    t.to_view("fs.v")
+    snap = t.snapshot()
+    nxt = t._next_snap(snap, "noop", dict(snap["manifests"]), {}, "fence-1")
+    t._commit(nxt)
+    st = LakeTable.view_status(spark, "fs.v")
+    assert st["current"], st
 
 
 def test_view_text_is_o_directories_not_o_files(spark, warehouse):

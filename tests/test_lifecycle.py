@@ -179,6 +179,17 @@ def test_delete_physical_is_not_lsn_fenced_but_tombstone_is(spark, warehouse):
         spark.createDataFrame([("a", 7, "i", 600)], src), key_cols=["k"])
     assert {(r.k, r.v) for r in tomb.read().collect()} == {("b", 2), ("a", 7)}
 
+    # the stamp is CLAMPED to the row's own lsn: a row at lsn 700 deleted
+    # with tombstone_lsn=500 must fence a straggler at lsn 600 — writing
+    # the literal 500 would let it resurrect
+    clamp = fresh("clamp")
+    clamp.merge_cdc(
+        spark.createDataFrame([("a", 5, "u", 700)], src), key_cols=["k"])
+    clamp.delete(F.col("k") == "a", tombstone_lsn=500)
+    clamp.merge_cdc(
+        spark.createDataFrame([("a", 42, "i", 600)], src), key_cols=["k"])
+    assert {(r.k, r.v) for r in clamp.read().collect()} == {("b", 2)}
+
 
 def test_delete_tombstone_lsn_requires_cdc_meta_columns(spark, warehouse):
     t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
