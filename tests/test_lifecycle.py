@@ -491,3 +491,102 @@ def test_catalog_drop_missing_is_noop(spark, warehouse):
     cat.register("a.t")
     cat.drop("nope")  # must not raise or disturb existing entries
     assert "a.t" in cat.tables()
+
+
+# ------------------------------------------------------------- replication
+def test_replicator_incremental_resume_and_reconcile(spark, warehouse):
+    """First-class incremental replication: sync() ships only the changed
+    range with a durable watermark, no-ops when nothing moved, and falls
+    back to a full reconciliation (including deletes) when the watermark
+    is lost or expired upstream."""
+    from cdm_data_loader_utils_spark.lake.replicate import Replicator
+
+    src_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    up = LakeTable.create(spark, os.path.join(warehouse, "up"), SCHEMA,
+                          bucket_by="k", bucket_count=4)
+    down = LakeTable.create(spark, os.path.join(warehouse, "down"), SCHEMA,
+                            bucket_by="k", bucket_count=2)
+    rep = Replicator(up, down, ["k"], os.path.join(warehouse, "repl_state"))
+
+    def eq():
+        a = {(r.k, r.v) for r in up.read().collect()}
+        b = {(r.k, r.v) for r in down.read().collect()}
+        assert a == b, (a, b)
+
+    up.merge_cdc(spark.createDataFrame(
+        [("a", 1, "i", 1), ("b", 2, "i", 2)], src_schema), key_cols=["k"])
+    r1 = rep.sync()
+    assert r1["mode"] == "reconcile" and r1["events"] == 2  # bootstrap
+    eq()
+    up.merge_cdc(spark.createDataFrame(
+        [("b", 20, "u", 3), ("c", 3, "i", 4), ("a", None, "d", 5)],
+        src_schema), key_cols=["k"])
+    r2 = rep.sync()
+    assert r2["mode"] == "incremental" and r2["events"] == 3
+    eq()
+    assert rep.sync()["mode"] == "noop"
+    assert rep.watermark() == up.snapshot_id
+
+    # re-delivery of an already-shipped range is fenced to a no-op commit
+    dst_sid = down.snapshot_id
+    rep2 = Replicator(up, down, ["k"],
+                      os.path.join(warehouse, "repl_state2"))
+    # rep2 has no watermark → reconcile; src==dst so the diff ships nothing
+    r3 = rep2.sync()
+    assert r3["mode"] == "reconcile" and r3["events"] == 0
+    assert down.snapshot_id == dst_sid
+
+    # lost/expired watermark + destination drift → reconcile ships DELETES
+    down.merge_cdc(spark.createDataFrame(
+        [("zz", 99, "i", 1)], src_schema), key_cols=["k"])  # dst-only row
+    up.expire_snapshots(keep_last=1, grace_seconds=0)
+    rep3 = Replicator(up, down, ["k"],
+                      os.path.join(warehouse, "repl_state3"))
+    r4 = rep3.sync()
+    assert r4["mode"] == "reconcile" and r4["events"] >= 1
+    eq()  # zz tombstoned in dst
+
+    # steady state after upstream schema evolution flows through the merge
+    wide = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType()),
+         T.StructField("w", T.IntegerType()),
+         T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    up.merge_cdc(spark.createDataFrame([("d", 4, 40, "i", 6)], wide),
+                 key_cols=["k"])
+    rep3.sync()
+    got = {(r.k, r.v, r.w) for r in down.read().collect()}
+    assert ("d", 4, 40) in got
+
+
+# ------------------------------------------------------------- maintenance
+def test_table_stats_and_maintenance_plan(spark, warehouse):
+    """Metadata-only layout observability: stats add up to the manifest
+    truth, the plan flags exactly the buckets needing compaction, and
+    running the suggested compaction clears the plan."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=4)
+    for wave in range(3):
+        t.append(_df(spark, [(f"k{i}", i + wave * 100) for i in range(16)]))
+    s = t.table_stats()
+    assert s["rows"] == 48
+    assert s["files"] == len(t.files())
+    assert sum(b["files"] for b in s["buckets"].values()) == s["files"]
+    assert s["schema_groups"] == 1 and s["bucket_count"] == 4
+
+    plan = t.maintenance_plan(max_files_per_bucket=2)
+    assert plan["compact_buckets"], "3 appends x 4 buckets must exceed 2 files somewhere"
+    t.compact_buckets(bucket_keys=plan["compact_buckets"])
+    plan2 = t.maintenance_plan(max_files_per_bucket=2)
+    assert plan2["compact_buckets"] == []
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (f"k{i}", i + w * 100) for i in range(16) for w in range(3)
+    }
+
+    # growth lever: tiny target → suggests a power-of-two re-bucket
+    plan3 = t.maintenance_plan(target_rows_per_bucket=4)
+    assert plan3["rebucket_to"] in (16, 32) and \
+        plan3["rebucket_to"] & (plan3["rebucket_to"] - 1) == 0
