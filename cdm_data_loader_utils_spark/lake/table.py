@@ -1154,10 +1154,19 @@ class LakeTable:
             writer = dfb.write.partitionBy(_BUCKET_COL)
         else:
             dfu = df
-            if sort_exprs:
+            if sort_exprs and n_partitions:
+                dfu = dfu.repartitionByRange(
+                    n_partitions, *sort_exprs
+                ).sortWithinPartitions(*sort_exprs)
+            elif sort_exprs:
                 dfu = dfu.repartitionByRange(
                     *sort_exprs
                 ).sortWithinPartitions(*sort_exprs)
+            elif n_partitions:
+                # honor the caller's target width on unbucketed tables too —
+                # compact() on one otherwise rewrites file-per-input-split
+                # and never actually consolidates
+                dfu = dfu.repartition(n_partitions)
             writer = dfu.write
         if codec:
             writer = writer.option("compression", codec)
@@ -2139,9 +2148,13 @@ class LakeTable:
                 raise ValueError("cannot re-bucket an unbucketed table")
             snap = dict(snap)
             snap["bucket_count"] = int(new_bucket_count)
-        n_parts = None
         if snap.get("bucket_by"):
             n_parts = max(1, int(snap["bucket_count"]) * target_files_per_bucket)
+        else:
+            # unbucketed: the target is the absolute file count — without
+            # this the rewrite keeps one file per input split and a compact
+            # never consolidates small files
+            n_parts = max(1, target_files_per_bucket)
         new_files = self._write_files(
             _align_to_schema(df, self.schema(snap)), snap, sid,
             n_partitions=n_parts,
@@ -2151,6 +2164,96 @@ class LakeTable:
             {"compacted": True, "bucket_count": snap.get("bucket_count")}, None,
         )
         return self._commit(nxt)
+
+    def table_stats(self, snapshot_id: int | None = None) -> dict:
+        """Operational layout summary from METADATA ONLY (manifests + log —
+        zero data scanned; Iceberg's ``files``/``snapshots`` metadata-table
+        role). The numbers that tell an operator when to run
+        :meth:`compact_buckets` or re-bucket:
+
+        ``buckets`` maps bucket key → ``{files, rows}`` (physical rows,
+        tombstones included); top-level: ``files``, ``rows``,
+        ``files_per_bucket_max/mean``, ``rows_per_bucket_max/mean``,
+        ``bucket_skew`` (max/mean rows — hot-key indicator), ``schema_groups``
+        (distinct write-schemas still live — how much alignment every read
+        pays), ``snapshots`` (log length — expire_snapshots pressure)."""
+        snap = self.snapshot(snapshot_id)
+        entries = self.files(snap)
+        per: dict[str, dict] = {}
+        for fe in entries:
+            key = _NO_BUCKET if fe.bucket is None else str(fe.bucket)
+            b = per.setdefault(key, {"files": 0, "rows": 0})
+            b["files"] += 1
+            b["rows"] += max(0, fe.rows)
+        files = sum(b["files"] for b in per.values())
+        rows = sum(b["rows"] for b in per.values())
+        nb = max(1, len(per))
+        mean_rows = rows / nb
+        max_rows = max((b["rows"] for b in per.values()), default=0)
+        return {
+            "files": files,
+            "rows": rows,
+            "buckets": per,
+            "bucket_count": snap.get("bucket_count"),
+            "files_per_bucket_max": max(
+                (b["files"] for b in per.values()), default=0),
+            "files_per_bucket_mean": files / nb,
+            "rows_per_bucket_max": max_rows,
+            "rows_per_bucket_mean": mean_rows,
+            "bucket_skew": (max_rows / mean_rows) if mean_rows else 0.0,
+            "schema_groups": len({fe.schema_id for fe in entries}),
+            "snapshots": len(self._versions()),
+        }
+
+    def maintenance_plan(
+        self,
+        max_files_per_bucket: int = 8,
+        target_rows_per_bucket: int = 10_000_000,
+        max_snapshots: int = 1_000,
+    ) -> dict:
+        """Turn :meth:`table_stats` into concrete actions — the decision an
+        operator (or a scheduler) makes per table per maintenance window,
+        from metadata only:
+
+        * ``compact_buckets``: bucket keys holding > ``max_files_per_bucket``
+          files (small-file accumulation from merges; pass the list straight
+          to :meth:`compact_buckets`);
+        * ``compact_unbucketed``: True when the UNBUCKETED file group
+          accumulates past the same threshold — those files are invisible
+          to :meth:`compact_buckets`, so the action is a full
+          :meth:`compact` (a plan that silently dropped them would tell a
+          scheduler "all clear" forever on unbucketed tables);
+        * ``rebucket_to``: suggested power-of-two bucket_count when TRUE
+          mean rows per bucket (``rows / bucket_count`` — not the mean over
+          populated buckets, which skew inflates into shrink-the-table
+          advice) exceeds ``target_rows_per_bucket``. Strictly a GROWTH
+          lever: only ever larger than the current count, keeping
+          copy-on-write merge rewrite units bounded; None when the layout
+          is fine (skewed hot keys are not fixable by re-bucketing — see
+          ``bucket_skew`` in the stats);
+        * ``expire_snapshots``: True when the log exceeds ``max_snapshots``.
+        """
+        s = self.table_stats()
+        compact_keys = sorted(
+            int(k) for k, b in s["buckets"].items()
+            if k != _NO_BUCKET and b["files"] > max_files_per_bucket
+        )
+        unbucketed_files = s["buckets"].get(_NO_BUCKET, {"files": 0})["files"]
+        rebucket_to = None
+        if s["bucket_count"]:
+            true_mean = s["rows"] / int(s["bucket_count"])
+            if true_mean > target_rows_per_bucket:
+                need = int(s["rows"] / target_rows_per_bucket) + 1
+                cand = 1 << (need - 1).bit_length()
+                if cand > int(s["bucket_count"]):
+                    rebucket_to = cand
+        return {
+            "compact_buckets": compact_keys,
+            "compact_unbucketed": unbucketed_files > max_files_per_bucket,
+            "rebucket_to": rebucket_to,
+            "expire_snapshots": s["snapshots"] > max_snapshots,
+            "stats": s,
+        }
 
     def compact_buckets(
         self,

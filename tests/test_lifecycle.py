@@ -562,6 +562,50 @@ def test_replicator_incremental_resume_and_reconcile(spark, warehouse):
     assert ("d", 4, 40) in got
 
 
+def test_replicator_crash_window_net_zero_key_converges(spark, warehouse):
+    """The two-phase intent protocol's reason to exist: a sync that merged
+    but crashed before advancing the watermark, followed by an upstream
+    DELETE of the key it shipped. A naive resume would diff the WIDENED
+    range (key absent at both endpoints → no event) and strand the key
+    live in the replica forever; the recorded intent re-ships the exact
+    crashed range instead, so the next sync sees the delete."""
+    from cdm_data_loader_utils_spark.lake.replicate import Replicator
+
+    src_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    up = LakeTable.create(spark, os.path.join(warehouse, "up"), SCHEMA,
+                          bucket_by="k", bucket_count=4)
+    down = LakeTable.create(spark, os.path.join(warehouse, "down"), SCHEMA,
+                            bucket_by="k", bucket_count=2)
+    rep = Replicator(up, down, ["k"], os.path.join(warehouse, "state"))
+    up.merge_cdc(spark.createDataFrame([("a", 1, "i", 1)], src_schema),
+                 key_cols=["k"])
+    rep.sync()
+    w = rep.watermark()
+
+    # crashed sync: K inserted upstream, intent recorded, merge APPLIED,
+    # watermark never advanced (process died here)
+    up.merge_cdc(spark.createDataFrame([("K", 7, "i", 2)], src_schema),
+                 key_cols=["k"])
+    x = up.snapshot_id
+    v, st = rep._state()
+    rep._write_state(v + 1, {"from_snapshot": w, "pending": [w, x]})
+    rep._ship(w, x)
+    assert {(r.k, r.v) for r in down.read().collect()} == {("a", 1), ("K", 7)}
+
+    # upstream deletes K before the replicator comes back
+    up.merge_cdc(spark.createDataFrame([("K", None, "d", 3)], src_schema),
+                 key_cols=["k"])
+    r = rep.sync()   # resumes the recorded [w, x] range; fence absorbs it
+    assert r["resumed"] and r["to"] == x
+    r2 = rep.sync()  # now ships x→latest, which carries the delete
+    assert r2["events"] == 1 and not r2["resumed"]
+    assert {(r_.k, r_.v) for r_ in down.read().collect()} == {("a", 1)}
+    assert rep.sync()["mode"] == "noop"
+
+
 # ------------------------------------------------------------- maintenance
 def test_table_stats_and_maintenance_plan(spark, warehouse):
     """Metadata-only layout observability: stats add up to the manifest
@@ -586,7 +630,19 @@ def test_table_stats_and_maintenance_plan(spark, warehouse):
         (f"k{i}", i + w * 100) for i in range(16) for w in range(3)
     }
 
-    # growth lever: tiny target → suggests a power-of-two re-bucket
+    # growth lever: tiny target → suggests a power-of-two re-bucket; a
+    # huge target suggests nothing (and never a SHRINK)
     plan3 = t.maintenance_plan(target_rows_per_bucket=4)
     assert plan3["rebucket_to"] in (16, 32) and \
         plan3["rebucket_to"] & (plan3["rebucket_to"] - 1) == 0
+    assert t.maintenance_plan(target_rows_per_bucket=10**9)["rebucket_to"] is None
+
+    # unbucketed tables must not read as "all clear": their file group is
+    # invisible to compact_buckets, so the plan flags a full compact()
+    u = LakeTable.create(spark, os.path.join(warehouse, "u"), SCHEMA)
+    for wave in range(3):
+        u.append(_df(spark, [(f"k{i}", i) for i in range(4)]).coalesce(1))
+    pu = u.maintenance_plan(max_files_per_bucket=2)
+    assert pu["compact_buckets"] == [] and pu["compact_unbucketed"]
+    u.compact()
+    assert not u.maintenance_plan(max_files_per_bucket=2)["compact_unbucketed"]

@@ -149,14 +149,21 @@ def test_connected_components_equals_union_find(spark, edges):
 
 @st.composite
 def table_op_sequences(draw):
-    """Random interleavings of append / merge-upsert / merge-tombstone /
-    predicate-delete / targeted-update / compact against a fresh table."""
+    """Random interleavings of append / merge-upsert (random lsn) /
+    merge-tombstone / physical predicate-delete / LSN-fenced tombstone
+    delete / targeted-update / compact against a fresh table. Upsert and
+    tombstone-delete LSNs are drawn from overlapping windows so LWW
+    decisions go BOTH ways against standing tombstones."""
     ops = []
     n = draw(st.integers(min_value=3, max_value=9))
     next_key = 0
-    for _ in range(n):
+    merged = False  # tombstone deletes need the CDC meta cols a merge adds
+    for step in range(n):
         kind = draw(st.sampled_from(
-            ["append", "upsert", "tomb", "delete", "update", "compact"]))
+            ["append", "upsert", "tomb", "delete", "tombdel", "update",
+             "compact"]))
+        if kind == "tombdel" and not merged:
+            kind = "delete"
         if kind == "append":
             cnt = draw(st.integers(1, 4))
             ops.append(("append", [(next_key + i, draw(st.integers(0, 99)))
@@ -165,10 +172,17 @@ def table_op_sequences(draw):
         elif kind in ("upsert", "tomb"):
             if next_key == 0:
                 continue
+            # lsn windows overlap across steps: a later event may carry a
+            # LOWER lsn than a standing tombstone and must lose
             ops.append((kind, draw(st.integers(0, next_key - 1)),
-                        draw(st.integers(0, 99))))
+                        draw(st.integers(0, 99)),
+                        draw(st.integers(step * 4 + 1, step * 4 + 12))))
+            merged = True
         elif kind == "delete":
             ops.append(("delete", draw(st.integers(0, 99))))
+        elif kind == "tombdel":
+            ops.append(("tombdel", draw(st.integers(0, 99)),
+                        draw(st.integers(step * 4 + 1, step * 4 + 12))))
         elif kind == "update":
             ops.append(("update", draw(st.integers(0, 99))))
         else:
@@ -184,10 +198,13 @@ def table_op_sequences(draw):
 )
 @given(table_op_sequences())
 def test_row_ops_equal_python_model(spark, tmp_path_factory, ops):
-    """For ANY interleaving of appends, CDC merges (upsert + tombstone),
-    predicate DELETEs, targeted UPDATEs and compactions, the table's live
-    state equals a sequential Python fold — including tombstone/LWW
-    interaction across the row-level ops."""
+    """For ANY interleaving of appends, CDC merges (upsert + tombstone,
+    RANDOM overlapping LSNs), physical predicate DELETEs, LSN-fenced
+    tombstone deletes, targeted UPDATEs and compactions, the table's live
+    state equals a sequential Python fold — including every LWW decision
+    against standing tombstones (merge ties: target wins, ``s_lsn >
+    t_lsn`` strict) and the tombstone-delete clamp
+    (``__lsn = max(row lsn, tombstone_lsn)``)."""
     import warnings
 
     schema = T.StructType([
@@ -203,43 +220,62 @@ def test_row_ops_equal_python_model(spark, tmp_path_factory, ops):
         spark, os.path.join(str(wh), f"t{uuid.uuid4().hex[:6]}"), schema,
         bucket_by="k", bucket_count=2,
     )
-    model: dict[int, int] = {}
-    tombstoned: dict[int, int] = {}  # key -> tombstone lsn
-    lsn = 0
+    live: dict[int, tuple[int, int | None]] = {}  # key -> (val, lsn|None)
+    tomb: dict[int, int] = {}                     # key -> tombstone lsn
+
+    def wins(incoming: int, standing: int | None) -> bool:
+        return standing is None or incoming > standing
+
     for op in ops:
         if op[0] == "append":
             rows = op[1]
             t.append(spark.createDataFrame(rows, schema))
-            model.update(dict(rows))
+            live.update({k: (v, None) for k, v in rows})  # fresh keys only
         elif op[0] in ("upsert", "tomb"):
-            _, key, val = op
-            lsn += 1
+            _, key, val, lsn = op
             kind = "i" if op[0] == "upsert" else "d"
             t.merge_cdc(
                 spark.createDataFrame(
                     [(key, None if kind == "d" else val, kind, lsn)],
                     src_schema),
                 key_cols=["k"])
-            if kind == "d":
-                model.pop(key, None)
-                tombstoned[key] = lsn
-            else:
-                # LWW vs an existing tombstone: rising lsn always wins
-                model[key] = val
-                tombstoned.pop(key, None)
+            standing = (
+                live[key][1] if key in live
+                else tomb.get(key)  # None → unmatched → source inserts
+            )
+            if wins(lsn, standing):
+                if kind == "d":
+                    live.pop(key, None)
+                    tomb[key] = lsn
+                else:
+                    live[key] = (val, lsn)
+                    tomb.pop(key, None)
         elif op[0] == "delete":
             cut = op[1]
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
                 t.delete(F.col("v") >= cut, where=[("v", ">=", cut)])
-            model = {k: v for k, v in model.items() if v < cut}
+            # physical: matched rows vanish, NO lsn fence left behind
+            live = {k: s for k, s in live.items() if s[0] < cut}
+        elif op[0] == "tombdel":
+            _, cut, chosen = op
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                t.delete(F.col("v") >= cut, where=[("v", ">=", cut)],
+                         tombstone_lsn=chosen)
+            for k in [k for k, (v, _) in live.items() if v >= cut]:
+                row_lsn = live.pop(k)[1]
+                tomb[k] = chosen if row_lsn is None else max(row_lsn, chosen)
         elif op[0] == "update":
             cut = op[1]
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
                 t.update(F.col("v") < cut, {"v": F.col("v") + 1000})
-            model = {k: (v + 1000 if v < cut else v) for k, v in model.items()}
+            live = {
+                k: ((v + 1000, l) if v < cut else (v, l))
+                for k, (v, l) in live.items()
+            }
         else:
             t.compact(target_files_per_bucket=1)
     got = {(r.k, r.v) for r in t.read().collect()}
-    assert got == set(model.items()), (ops, got, model)
+    assert got == {(k, v) for k, (v, _) in live.items()}, (ops, got, live)
