@@ -184,8 +184,12 @@ class Catalog:
             t = LakeTable.load(self.spark, path)
             sid = t.snapshot_id
             pin = pins.get(name)
-            if pin is not None and pin == (path, sid):
-                continue  # fast no-op: nothing committed since registration
+            if pin is not None and pin == (path, sid) and \
+                    self.spark.catalog.tableExists(name):
+                # fast no-op: nothing committed since registration AND the
+                # session view still exists (someone may have DROPped it
+                # directly — the pin tracks the table, not the view)
+                continue
             out[name] = t.to_view(name)
             pins[name] = (path, sid)
         return out
@@ -216,12 +220,14 @@ class Catalog:
         view, not this object's in-memory pins — so a drop removes views
         registered by any Catalog instance or handle in this session, and
         never drops an unrelated user view that happens to share the name."""
-        try:
-            rows = self.spark.sql(
-                f"SHOW TBLPROPERTIES {_view_ident(name)}"
-            ).collect()
-        except Exception:  # noqa: BLE001 — no such view
+        # existence probe first, so a TRANSIENT catalog error stays loud
+        # instead of reading as "no view" and silently leaving the dangling
+        # view this method exists to remove
+        if not self.spark.catalog.tableExists(name):
             return False
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {_view_ident(name)}"
+        ).collect()
         props = {r["key"]: r["value"] for r in rows}
         # property read, not view_status: the table itself may already be
         # gone (concurrent purge) and must not block dropping its view

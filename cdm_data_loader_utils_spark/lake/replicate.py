@@ -158,7 +158,15 @@ class Replicator:
 
         try:
             snap_hi = self.src.snapshot(hi)
-        except FileNotFoundError:
+        except Exception:  # noqa: BLE001 — see expiry check below
+            # Hadoop stores surface an expired snapshot as a py4j-wrapped
+            # JVM exception, not Python's FileNotFoundError (same divergence
+            # the snapshot() walk documents) — so catch broadly, then
+            # CONFIRM the snapshot is actually gone before falling back;
+            # a transient read error must stay loud, not silently turn an
+            # incremental sync into a full reconcile
+            if hi in self.src._versions():
+                raise
             hi = self.src.snapshot_id
             snap_hi = self.src.snapshot(hi)
             lo = None  # forces the reconcile branch below
@@ -187,12 +195,18 @@ class Replicator:
             src_df = self.src.read(snapshot_id=hi)
             if self.validate_keys:
                 for side, df_ in (("destination", dst_df), ("source", src_df)):
-                    total = df_.count()
-                    uniq = df_.select(*self.key_cols).distinct().count()
-                    if total != uniq:
+                    dups = (
+                        df_.groupBy(*self.key_cols).count()
+                        .filter(F.col("count") > 1)
+                        .agg(F.coalesce(
+                            F.sum(F.col("count") - 1), F.lit(0)
+                        ).alias("extra"))
+                        .collect()[0]["extra"]
+                    )
+                    if dups:
                         raise ValueError(
                             f"replicate reconcile: {side} holds "
-                            f"{total - uniq} duplicate row(s) for "
+                            f"{dups} duplicate row(s) for "
                             f"{self.key_cols} — a keyed diff cannot "
                             f"represent row multiplicity"
                         )

@@ -628,17 +628,26 @@ class LakeTable:
         sigs = getattr(self, "_view_sig", None)
         if sigs is None:
             sigs = self._view_sig = {}
+        stamps = getattr(self, "_view_stamp", None)
+        if stamps is None:
+            stamps = self._view_stamp = {}
         for name in names:
             try:
-                if sig is not None and sigs.get(name) == sig:
+                if sig is not None and sigs.get(name) == sig and \
+                        self._owns_view(name, stamps.get(name)):
                     # visible state unchanged (fence/properties-only
                     # commit) — skip the O(directories) text regeneration,
                     # but still advance the freshness stamp or view_status
-                    # would report this view stale forever
+                    # would report this view stale forever. The ownership
+                    # probe guards against stamping a view ANOTHER handle
+                    # re-registered meanwhile (e.g. pinned over this name):
+                    # advancing a pinned view's stamp would make
+                    # view_status call stale text current.
                     self.spark.sql(
                         f"ALTER VIEW {_view_ident(name)} SET TBLPROPERTIES "
                         f"('lake.snapshot_id'='{int(snap['snapshot_id'])}')"
                     )
+                    stamps[name] = int(snap["snapshot_id"])
                     continue
                 self._register_view(name, None)
                 if sig is not None:
@@ -648,6 +657,23 @@ class LakeTable:
                     f"auto-refresh of SQL view {name!r} failed: {e}",
                     stacklevel=2,
                 )
+
+    def _owns_view(self, name: str, expected_stamp: int | None) -> bool:
+        """Does the session view still carry the snapshot stamp THIS handle
+        last wrote? False ⇒ another handle re-registered it (we fall back
+        to a full re-register, the same clobber semantics a data commit
+        has always had) — one catalog lookup, no filesystem access."""
+        if expected_stamp is None:
+            return False
+        try:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {_view_ident(name)}"
+            ).collect()
+        except Exception:  # noqa: BLE001 — view gone ⇒ re-register
+            return False
+        props = {r["key"]: r["value"] for r in rows}
+        return props.get("lake.snapshot_id") == str(expected_stamp) and \
+            props.get("lake.path") == self.path
 
     # ------------------------------------------------------------ manifests
     def _write_manifest(self, entries: list[FileEntry]) -> str:
@@ -824,32 +850,42 @@ class LakeTable:
                 f"FROM {ref}) IS NULL"
             )
 
-        # ONE recursive listing of data/ for the whole registration (lazy:
-        # empty and single-file-per-group tables never pay it), keyed by
-        # root-RELATIVE dirname with root-relative file sets. Paths from
-        # walk_files are normalized through _uri_to_rel so Hadoop listings
-        # (fully-qualified, possibly percent-encoded URIs) compare equal to
-        # manifest-relative paths — a raw string compare would silently
+        # Directory-cleanliness probe with a handle-level cache, so the
+        # live-view auto-refresh on the COMMIT hot path lists only the
+        # directories it has never verified — O(dirs touched by this
+        # commit), not O(all files on disk). Commit dirs are immutable
+        # (files only ever REMOVED from a dir's referenced set, which
+        # invalidates via _replace_entries), so a verified-clean entry
+        # stays valid until a row-op touches it. Paths from walk_files are
+        # normalized through _uri_to_rel so Hadoop listings
+        # (fully-qualified, possibly percent-encoded URIs) compare equal
+        # to manifest-relative paths — a raw string compare would silently
         # disable the directory-glob form on exactly the object-store
-        # deployments it targets. A per-directory walk instead of this
-        # single one would issue O(directories) sequential LIST calls on
-        # every live-view refresh, i.e. on every commit.
-        _disk_cell: list[dict[str, set[str]] | None] = []
+        # deployments it targets. Divergence the cache could ever miss
+        # (another PROCESS orphaning a file) is caught loudly by the
+        # row-count guard, and an explicit to_view() clears the cache (the
+        # documented re-register heal path).
+        cache = getattr(self, "_clean_dirs", None)
+        if cache is None:
+            cache = self._clean_dirs = {}
+        if len(cache) > 4096:
+            cache.clear()
 
-        def disk_map() -> dict[str, set[str]] | None:
-            if not _disk_cell:
-                try:
-                    m: dict[str, set[str]] = {}
-                    for f in self.fs.walk_files(
-                        self.fs.join(self.path, _DATA_DIR)
-                    ):
-                        rel = self._uri_to_rel(f)
-                        if rel.endswith(".parquet"):
-                            m.setdefault(posixpath.dirname(rel), set()).add(rel)
-                    _disk_cell.append(m)
-                except Exception:  # noqa: BLE001 — listing failure ⇒ fall back
-                    _disk_cell.append(None)
-            return _disk_cell[0]
+        def dir_clean(d: str, expected: frozenset) -> bool:
+            known = cache.get(d)
+            if known is not None:
+                return known == expected
+            try:
+                disk = frozenset(
+                    rel for f in self.fs.walk_files(self.fs.join(self.path, d))
+                    if (rel := self._uri_to_rel(f)).endswith(".parquet")
+                )
+            except Exception:  # noqa: BLE001 — listing failure ⇒ fall back
+                return False
+            if disk == expected:
+                cache[d] = disk
+                return True
+            return False  # orphans present: re-probe next time (expire heals)
 
         def group_refs(
             entries: list[tuple[str, int]]
@@ -885,11 +921,8 @@ class LakeTable:
                     bool(d)
                     and not (_GLOB_CHARS & set(d))
                     and all(r >= 0 for _, r in items)
+                    and dir_clean(d, frozenset(p for p, _ in items))
                 )
-                if ok:
-                    disk = disk_map()
-                    ok = disk is not None and \
-                        disk.get(d, set()) == {p for p, _ in items}
                 if ok:
                     dir_rels.append(d)
                     dir_rows += sum(r for _, r in items)
@@ -976,6 +1009,9 @@ class LakeTable:
         is stamped as view property ``lake.snapshot_id`` (plus ``lake.path``)
         so any session-catalog reader can ask whether the view is current —
         see :meth:`view_status`."""
+        # explicit (re-)registration is the documented heal path after any
+        # out-of-band disk change — verify directories afresh
+        getattr(self, "_clean_dirs", {}).clear()
         ident = self._register_view(view_name, snapshot_id)
         live = getattr(self, "_live_views", None)
         if live is None:
@@ -1047,6 +1083,10 @@ class LakeTable:
         self.spark.sql(
             f"CREATE OR REPLACE VIEW {ident} {props} AS {self.as_sql(resolved)}"
         )
+        stamps = getattr(self, "_view_stamp", None)
+        if stamps is None:
+            stamps = self._view_stamp = {}
+        stamps[view_name] = int(resolved)
         return ident
 
     def plan_files(
@@ -1299,6 +1339,15 @@ class LakeTable:
         other buckets carry forward by manifest reference (O(touched)
         metadata per commit, not O(total files))."""
         out = dict(self._require_v2(snap))
+        if removed_paths:
+            # a removed file becomes an on-disk orphan until
+            # expire_snapshots — its directory is no longer fully
+            # referenced, so the view generator's clean-dir cache must
+            # forget it
+            cache = getattr(self, "_clean_dirs", None)
+            if cache:
+                for p in removed_paths:
+                    cache.pop(posixpath.dirname(p), None)
         add_groups: dict[str, list[FileEntry]] = {}
         for fe in added:
             add_groups.setdefault(
@@ -1595,9 +1644,10 @@ class LakeTable:
         mis-classify; same documented one-row-per-key contract as the
         merge source. ``validate_keys=True`` makes a violation LOUD: each
         side's live rows over the diffed buckets are asserted unique per
-        key (two count jobs over only the changed buckets — opt-in because
-        even that is not free on a hot path) and a ValueError reports the
-        duplicate-key count instead of a silently wrong feed.
+        key (one extra ``groupBy(keys)`` scan per side over only the
+        changed buckets — opt-in because even that is not free on a hot
+        path) and a ValueError reports the duplicate-key count instead of
+        a silently wrong feed.
 
         Scale shape: buckets whose manifest reference is unchanged between
         the snapshots are skipped wholesale (O(buckets) metadata compare,
@@ -1638,12 +1688,20 @@ class LakeTable:
                 ("from_snapshot", old_snap["snapshot_id"], old_live),
                 ("to_snapshot", new_snap["snapshot_id"], new_live),
             ):
-                total = df_.count()
-                uniq = df_.select(*key_cols).distinct().count()
-                if total != uniq:
+                # ONE aggregation scan per side (a count + distinct-count
+                # pair would scan each side twice)
+                dups = (
+                    df_.groupBy(*key_cols).count()
+                    .filter(F.col("count") > 1)
+                    .agg(F.coalesce(
+                        F.sum(F.col("count") - 1), F.lit(0)
+                    ).alias("extra"))
+                    .collect()[0]["extra"]
+                )
+                if dups:
                     raise ValueError(
                         f"changes(validate_keys=True): snapshot {sid_} "
-                        f"({side}) holds {total - uniq} duplicate row(s) for "
+                        f"({side}) holds {dups} duplicate row(s) for "
                         f"{key_cols} across the diffed buckets — a keyed "
                         f"change feed cannot represent row multiplicity "
                         f"(dedupe the table, e.g. via merge_cdc, first)"
@@ -2148,12 +2206,27 @@ class LakeTable:
                 raise ValueError("cannot re-bucket an unbucketed table")
             snap = dict(snap)
             snap["bucket_count"] = int(new_bucket_count)
+        _props_now = snap.get("properties") or {}
+        _clustered = bool(
+            _props_now.get("write.sort_by") or _props_now.get("write.zorder.by")
+        )
         if snap.get("bucket_by"):
             n_parts = max(1, int(snap["bucket_count"]) * target_files_per_bucket)
+        elif _clustered:
+            # unbucketed CLUSTERED compact: the whole point is many files
+            # with tight per-file ranges — a default target of 1 would
+            # collapse the table into a single file and silently destroy
+            # the min/max pruning the clustering exists for, so the
+            # default widens to the session parallelism
+            n_parts = max(
+                target_files_per_bucket,
+                self.spark.sparkContext.defaultParallelism,
+            )
         else:
-            # unbucketed: the target is the absolute file count — without
-            # this the rewrite keeps one file per input split and a compact
-            # never consolidates small files
+            # unbucketed unclustered: the target is the absolute file count
+            # (small-file consolidation — without this the rewrite keeps
+            # one file per input split and never consolidates). For large
+            # tables pass a larger target: each output file is one task.
             n_parts = max(1, target_files_per_bucket)
         new_files = self._write_files(
             _align_to_schema(df, self.schema(snap)), snap, sid,

@@ -351,43 +351,60 @@ def connected_components(
         .unionByName(e.select(F.col("dst").alias("src"), F.col("dst")))
         .distinct()
     )
-    labels, labels_h = local_checkpoint_tracked(
-        sym.select("src").distinct().withColumn("label", F.col("src"))
-    )
+    try:
+        labels, labels_h = local_checkpoint_tracked(
+            sym.select("src").distinct().withColumn("label", F.col("src"))
+        )
+    except BaseException:
+        sym_h.unpersist()
+        raise
     converged = False
-    for _ in range(max_iter):
-        # 1. propagate: label(v) = min over {v} ∪ neighbors(v) of labels —
-        #    one shuffle on dst then groupBy src (self-loops carry own label)
-        new_labels = (
-            sym.join(labels.select(F.col("src").alias("dst"), "label"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("label"))
-        )
-        # 2. pointer jump: label(v) ← label(label(v)) — collapses chains
-        #    logarithmically instead of one hop per round
-        jumped, jumped_h = local_checkpoint_tracked(
-            new_labels.alias("a")
-            .join(
-                new_labels.select(
-                    F.col("src").alias("label"), F.col("label").alias("ll")
-                ).alias("b"),
-                "label",
-                "left",
+    try:
+        for _ in range(max_iter):
+            # 1. propagate: label(v) = min over {v} ∪ neighbors(v) of
+            #    labels — one shuffle on dst then groupBy src (self-loops
+            #    carry own label)
+            new_labels = (
+                sym.join(labels.select(F.col("src").alias("dst"), "label"), "dst")
+                .groupBy("src")
+                .agg(F.min("label").alias("label"))
             )
-            .select(F.col("src"), F.coalesce("ll", "label").alias("label"))
-        )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # previous round's checkpoint is now superseded — free its blocks
+            # 2. pointer jump: label(v) ← label(label(v)) — collapses
+            #    chains logarithmically instead of one hop per round
+            jumped, jumped_h = local_checkpoint_tracked(
+                new_labels.alias("a")
+                .join(
+                    new_labels.select(
+                        F.col("src").alias("label"), F.col("label").alias("ll")
+                    ).alias("b"),
+                    "label",
+                    "left",
+                )
+                .select(F.col("src"), F.coalesce("ll", "label").alias("label"))
+            )
+            try:
+                changed = (
+                    jumped.alias("n")
+                    .join(labels.alias("o"), "src")
+                    .filter(F.col("n.label") != F.col("o.label"))
+                    .count()
+                )
+            except BaseException:
+                jumped_h.unpersist()
+                raise
+            # previous round's checkpoint is now superseded — free its blocks
+            labels_h.unpersist()
+            labels, labels_h = jumped, jumped_h
+            if changed == 0:
+                converged = True
+                break
+    except BaseException:
+        # a failed job mid-loop must not leave the closure + round
+        # checkpoints pinned until session death — the error path frees
+        # exactly what the happy path does
+        sym_h.unpersist()
         labels_h.unpersist()
-        labels, labels_h = jumped, jumped_h
-        if changed == 0:
-            converged = True
-            break
+        raise
     # the returned frame reads only the FINAL labels checkpoint; the
     # symmetric closure (the largest intermediate, ~4x the edge count) is
     # dead once the loop ends — free it now rather than at release()

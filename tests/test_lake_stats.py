@@ -1126,3 +1126,23 @@ def test_update_with_where_hint_prunes_probe(spark, warehouse):
     got = {(r.v, r.k) for r in t.read().filter(F.col("v") >= 100).collect()}
     assert got == {(v, "hot") for v in range(100, 120)}
     assert t.read().count() == 120
+
+
+def test_unbucketed_clustered_compact_keeps_many_files(spark, warehouse):
+    """compact(sort_by=...) on an UNBUCKETED table must not collapse to a
+    single file (that would destroy per-file min/max pruning, the point of
+    clustering); the default width follows session parallelism, and plain
+    unclustered compact honors the explicit file target for consolidation."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, _rows(2048)))
+    t.compact(sort_by=["v"])
+    n = len(t.files())
+    assert n > 1, "clustered compact collapsed an unbucketed table to 1 file"
+    _, skipped = t.plan_files(where=[("v", ">=", 2000)])
+    assert skipped, "clustered unbucketed files must prune on the sort key"
+    # explicit target still consolidates
+    t2 = LakeTable.create(spark, os.path.join(warehouse, "t2"), SCHEMA)
+    for w in range(3):
+        t2.append(_df(spark, _rows(4, base_day=w + 1)).coalesce(1))
+    t2.compact(target_files_per_bucket=1)
+    assert len(t2.files()) == 1
