@@ -547,13 +547,27 @@ class LakeTable:
         return self._log.versions()
 
     def snapshot(self, snapshot_id: int | None = None,
-                 as_of_timestamp_ms: int | None = None) -> dict:
-        """Current snapshot, or time travel by id or by timestamp.
+                 as_of_timestamp_ms: int | None = None,
+                 tag: str | None = None) -> dict:
+        """Current snapshot, or time travel by id, by timestamp, or by a
+        named :meth:`tag`.
 
         ``as_of_timestamp_ms`` resolves to the LATEST snapshot whose
         ``timestamp_ms`` ≤ the given instant — the same addressing Delta's
         history offers by version and timestamp (reference reads both,
         ``audit/run.py:64-114``)."""
+        if tag is not None:
+            if snapshot_id is not None or as_of_timestamp_ms is not None:
+                raise ValueError(
+                    "pass exactly one of snapshot_id / as_of_timestamp_ms / tag"
+                )
+            named = self.tags()
+            if tag not in named:
+                raise KeyError(
+                    f"no tag {tag!r} on table at {self.path}; "
+                    f"known: {sorted(named)}"
+                )
+            snapshot_id = named[tag]
         if as_of_timestamp_ms is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
@@ -590,6 +604,81 @@ class LakeTable:
 
     def history(self) -> list[dict]:
         return [self.snapshot(v) for v in self._versions()]
+
+    # ------------------------------------------------------------------ tags
+    def _refs(self) -> VersionedJsonLog:
+        log = getattr(self, "_refs_log", None)
+        if log is None:
+            d = self.fs.join(self.path, _LOG_DIR, "refs")
+            self.fs.mkdirs(d)
+            log = self._refs_log = VersionedJsonLog(self.fs, d)
+        return log
+
+    def tags(self) -> dict[str, int]:
+        """name → snapshot id for every named tag (Iceberg refs parity)."""
+        log = self._refs()
+        v = log.latest_version()
+        if v is None:
+            return {}
+        return {k: int(s) for k, s in log.read(v)["tags"].items()}
+
+    def tag(self, name: str, snapshot_id: int | None = None,
+            replace: bool = False) -> int:
+        """Give a snapshot a durable NAME (Iceberg tag / Delta
+        point-in-time ref): ``read(tag="training-v3")`` reproduces the
+        exact table state forever, because :meth:`expire_snapshots` never
+        reclaims a tagged snapshot or its files — the retention lever for
+        pinning a dataset version a downstream run must be able to
+        re-read. Defaults to the current snapshot. Re-tagging the SAME id
+        is a no-op; re-pointing an existing tag raises unless
+        ``replace=True`` (same conflict rule as catalog names). CAS-safe
+        against concurrent taggers."""
+        sid = int(snapshot_id if snapshot_id is not None else self.snapshot_id)
+        # fail fast on a dangling tag (expired or never-existing snapshot)
+        self.snapshot(sid)
+        log = self._refs()
+        attempt = 0
+        while True:
+            v = log.latest_version() or 0
+            cur = log.read(v)["tags"] if v else {}
+            old = cur.get(name)
+            if old is not None and int(old) == sid:
+                return sid  # idempotent
+            if old is not None and not replace:
+                raise ValueError(
+                    f"tag {name!r} already points at snapshot {old}; pass "
+                    f"replace=True to move it to {sid}"
+                )
+            nxt = dict(cur)
+            nxt[name] = sid
+            try:
+                log.write_exclusive(v + 1, {"tags": nxt})
+                return sid
+            except FileExistsError:
+                if attempt >= 5:
+                    raise
+                time.sleep(0.05 * (2 ** attempt))
+                attempt += 1
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag; the snapshot becomes expirable again under the
+        normal ``keep_last``/grace rules."""
+        log = self._refs()
+        attempt = 0
+        while True:
+            v = log.latest_version() or 0
+            cur = log.read(v)["tags"] if v else {}
+            if name not in cur:
+                return
+            nxt = {k: s for k, s in cur.items() if k != name}
+            try:
+                log.write_exclusive(v + 1, {"tags": nxt})
+                return
+            except FileExistsError:
+                if attempt >= 5:
+                    raise
+                time.sleep(0.05 * (2 ** attempt))
+                attempt += 1
 
     def _commit(self, snap: dict) -> int:
         """Atomic create-exclusive commit — optimistic concurrency control."""
@@ -756,6 +845,7 @@ class LakeTable:
         include_meta: bool = False,
         where: list[tuple] | None = None,
         as_of_timestamp_ms: int | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state as a DataFrame.
 
@@ -773,7 +863,9 @@ class LakeTable:
         tail instead of every live file. Inspect the decision with
         :meth:`plan_files`.
         """
-        snap = self.snapshot(snapshot_id, as_of_timestamp_ms=as_of_timestamp_ms)
+        snap = self.snapshot(
+            snapshot_id, as_of_timestamp_ms=as_of_timestamp_ms, tag=tag
+        )
         cur = self.schema(snap)
         types = {f.name: f.dataType for f in cur.fields}
         tz = self._session_tz()
@@ -994,7 +1086,8 @@ class LakeTable:
             )
         return f"SELECT * FROM ({body})"
 
-    def to_view(self, view_name: str, snapshot_id: int | None = None) -> str:
+    def to_view(self, view_name: str, snapshot_id: int | None = None,
+                tag: str | None = None) -> str:
         """Register this table (optionally a time-travel snapshot) as a SQL
         view: ``db.name`` creates the database in the session catalog. Returns
         the view identifier ready for ``spark.sql(f"SELECT … FROM {ident}")``.
@@ -1008,7 +1101,13 @@ class LakeTable:
         silently re-point the pinned view at latest). The pinned snapshot id
         is stamped as view property ``lake.snapshot_id`` (plus ``lake.path``)
         so any session-catalog reader can ask whether the view is current —
-        see :meth:`view_status`."""
+        see :meth:`view_status`. ``tag=`` pins to a named snapshot
+        (expire-protected, so the view's files can never be reclaimed
+        under it — the safe way to publish a dataset version)."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR tag, not both")
+            snapshot_id = self.snapshot(tag=tag)["snapshot_id"]
         # explicit (re-)registration is the documented heal path after any
         # out-of-band disk change — verify directories afresh
         getattr(self, "_clean_dirs", {}).clear()
@@ -2403,6 +2502,10 @@ class LakeTable:
         """
         versions = self._versions()
         keep = set(versions[-keep_last:])
+        # tagged snapshots are RETENTION-PROTECTED (Iceberg refs rule): a
+        # named dataset version must stay re-readable until its tag is
+        # dropped, no matter how old it is
+        keep |= set(self.tags().values())
         removed = 0
         cutoff_ms = (time.time() - grace_seconds) * 1000
         # Decide which snapshot JSONs go FIRST: everything not kept and past

@@ -1146,3 +1146,40 @@ def test_unbucketed_clustered_compact_keeps_many_files(spark, warehouse):
         t2.append(_df(spark, _rows(4, base_day=w + 1)).coalesce(1))
     t2.compact(target_files_per_bucket=1)
     assert len(t2.files()) == 1
+
+
+# ------------------------------------------------------------------- tags
+def test_snapshot_tags_pin_reads_and_survive_expire(spark, warehouse):
+    """Iceberg-refs parity: tag(name) makes a snapshot addressable by name
+    AND retention-protected — expire_snapshots never reclaims a tagged
+    snapshot's JSON or files, so read(tag=...) reproduces the exact state
+    however old; drop_tag releases it back to normal retention."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(5)))
+    t.tag("v1")
+    v1_sid = t.snapshot_id
+    t.delete(F.col("v") < 2)
+    t.append(_df(spark, _rows(4, base_day=9)))
+    assert t.tags() == {"v1": v1_sid}
+    assert t.read(tag="v1").count() == 5
+    # aggressive expire: everything untagged except latest goes
+    t.expire_snapshots(keep_last=1, grace_seconds=0)
+    assert t.read(tag="v1").count() == 5, "tagged snapshot lost files to expire"
+    assert v1_sid in t._versions()
+    # views can pin by tag; the underlying files are expire-protected
+    ident = t.to_view("tags.v1", tag="v1")
+    assert spark.sql(f"SELECT count(*) AS n FROM {ident}").collect()[0].n == 5
+    # conflict rules mirror the catalog: idempotent re-tag, loud re-point
+    assert t.tag("v1", v1_sid) == v1_sid
+    with pytest.raises(ValueError, match="replace=True"):
+        t.tag("v1", t.snapshot_id)
+    t.tag("v1", t.snapshot_id, replace=True)
+    # released tag expires normally on the next pass
+    t.drop_tag("v1")
+    t.tag("latest")  # tagging current is fine and protects nothing extra
+    t.expire_snapshots(keep_last=1, grace_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(v1_sid)
+    with pytest.raises(KeyError, match="no tag"):
+        t.read(tag="nope")
