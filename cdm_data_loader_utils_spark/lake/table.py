@@ -2529,6 +2529,11 @@ class LakeTable:
                 if self.fs.exists(self._log_path(v)):
                     raise
                 doomed.add(v)  # gone already; exclude from the live scan
+        # second tags read AFTER the doom list is computed: a tag committed
+        # concurrently (between the first read and here) un-dooms its
+        # snapshot instead of losing it — the residual window is now one
+        # metadata read wide instead of spanning the whole stat loop
+        doomed -= set(self.tags().values())
         live: set[str] = set()
         live_manifests: set[str] = set()
         for v in versions:
