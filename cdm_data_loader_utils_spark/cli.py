@@ -5,7 +5,13 @@
     python -m cdm_data_loader_utils_spark.cli generate --out ... --n-events 1000000
     python -m cdm_data_loader_utils_spark.cli compact  --table ... [--purge-below-lsn N]
     python -m cdm_data_loader_utils_spark.cli metrics  --warehouse ... --run-id ...
-"""
+    python -m cdm_data_loader_utils_spark.cli maintain --table ... [--apply] [--apply-rebucket]
+    python -m cdm_data_loader_utils_spark.cli replicate --src ... --dst ... --key-cols k --state-dir ...
+    python -m cdm_data_loader_utils_spark.cli refresh-views --warehouse ... [--names a.t,b.u]
+
+Every lifecycle operation an operator schedules from cron has a command —
+the reference ships one console script per operation
+(``/root/reference/pyproject.toml:20-30``)."""
 
 from __future__ import annotations
 
@@ -98,6 +104,85 @@ def cmd_sql(args) -> None:
         spark.sql(args.query).show(args.max_rows, truncate=False)
 
 
+def cmd_maintain(args) -> None:
+    """Print table_stats + maintenance_plan (metadata-only); with --apply,
+    run the plan's incremental compaction + snapshot expiry; with
+    --apply-rebucket, additionally run the recommended full re-bucket (a
+    table rewrite — separate opt-in on purpose)."""
+    import json as _json
+
+    from .lake.table import LakeTable
+
+    spark = get_spark("cdc-maintain")
+    table = LakeTable.load(spark, args.table)
+    plan = table.maintenance_plan(
+        max_files_per_bucket=args.max_files_per_bucket,
+        target_rows_per_bucket=args.target_rows_per_bucket,
+        max_snapshots=args.max_snapshots,
+    )
+    print(_json.dumps(plan, indent=2, sort_keys=True))
+    if not (args.apply or args.apply_rebucket):
+        return
+    actions: list[str] = []
+    if args.apply_rebucket and plan["rebucket_to"]:
+        table.compact(new_bucket_count=plan["rebucket_to"])
+        actions.append(f"rebucketed to {plan['rebucket_to']}")
+    elif plan["compact_unbucketed"]:
+        table.compact()
+        actions.append("compacted (full: unbucketed file group)")
+    elif plan["compact_buckets"]:
+        table.compact_buckets(bucket_keys=plan["compact_buckets"])
+        actions.append(f"compacted {len(plan['compact_buckets'])} bucket(s)")
+    removed = table.expire_snapshots(keep_last=args.keep_snapshots,
+                                     grace_seconds=args.grace_seconds)
+    actions.append(f"expired {removed} file(s)")
+    print("applied: " + "; ".join(actions)
+          + f"; {len(table.files())} live files, snapshot {table.snapshot_id}")
+
+
+def cmd_replicate(args) -> None:
+    """One incremental sync of src → dst (resumable via --state-dir). The
+    destination is created on first run with the source's user schema and
+    bucket layout (override the count with --dst-buckets)."""
+    import json as _json
+
+    from .lake.replicate import Replicator
+    from .lake.table import LakeTable
+
+    spark = get_spark("cdc-replicate")
+    src = LakeTable.load(spark, args.src)
+    if LakeTable.exists(args.dst, spark=spark):
+        dst = LakeTable.load(spark, args.dst)
+    else:
+        snap = src.snapshot()
+        dst = LakeTable.create(
+            spark, args.dst, src.user_schema,
+            bucket_by=snap.get("bucket_by"),
+            bucket_count=args.dst_buckets or snap.get("bucket_count") or 16,
+        )
+    rep = Replicator(
+        src, dst, args.key_cols.split(","), args.state_dir,
+        name=args.name, validate_keys=args.validate_keys,
+    )
+    print(_json.dumps(rep.sync(), sort_keys=True))
+
+
+def cmd_refresh_views(args) -> None:
+    """Re-point the warehouse's registered SQL views at each table's current
+    snapshot — metadata-only no-op when nothing moved, from ANY process."""
+    from .lake.catalog import Catalog
+
+    spark = get_spark("cdc-refresh-views")
+    cat = Catalog(spark, args.warehouse)
+    names = args.names.split(",") if args.names else None
+    refreshed = cat.refresh_views(names)
+    if refreshed:
+        print(f"re-pointed {len(refreshed)} view(s): "
+              + ", ".join(sorted(refreshed)))
+    else:
+        print("all views current; nothing re-pointed")
+
+
 def cmd_metrics(args) -> None:
     from .audit.tables import AuditStore
 
@@ -155,6 +240,38 @@ def main(argv: list[str] | None = None) -> None:
     m.add_argument("--warehouse", required=True)
     m.add_argument("--run-id", required=True)
     m.set_defaults(fn=cmd_metrics)
+
+    mt = sub.add_parser("maintain")
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--apply", action="store_true",
+                    help="run the plan's compaction + expire_snapshots")
+    mt.add_argument("--apply-rebucket", action="store_true",
+                    help="also run the recommended re-bucket (full table "
+                         "rewrite) when the plan suggests one")
+    mt.add_argument("--max-files-per-bucket", type=int, default=8)
+    mt.add_argument("--target-rows-per-bucket", type=int, default=10_000_000)
+    mt.add_argument("--max-snapshots", type=int, default=1_000)
+    mt.add_argument("--keep-snapshots", type=int, default=3)
+    mt.add_argument("--grace-seconds", type=float, default=600.0)
+    mt.set_defaults(fn=cmd_maintain)
+
+    rp = sub.add_parser("replicate")
+    rp.add_argument("--src", required=True)
+    rp.add_argument("--dst", required=True)
+    rp.add_argument("--key-cols", required=True,
+                    help="comma-separated replication key columns")
+    rp.add_argument("--state-dir", required=True)
+    rp.add_argument("--name", default=None)
+    rp.add_argument("--dst-buckets", type=int, default=None)
+    rp.add_argument("--validate-keys", action="store_true")
+    rp.set_defaults(fn=cmd_replicate)
+
+    rv = sub.add_parser("refresh-views")
+    rv.add_argument("--warehouse", required=True)
+    rv.add_argument("--names", default=None,
+                    help="comma-separated subset (default: every "
+                         "catalog-registered table)")
+    rv.set_defaults(fn=cmd_refresh_views)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from .fs import VersionedJsonLog, filesystem_for
-from .table import LakeTable, _view_ident
+from .table import LakeTable, _view_ident, _view_parts
 
 _CATALOG_DIR = "_catalog"
 
@@ -167,10 +167,16 @@ class Catalog:
     def refresh_views(self, names: list[str] | None = None) -> dict[str, str]:
         """Re-point registered SQL views at each table's CURRENT snapshot —
         the cross-process staleness escape hatch (same-handle commits
-        already auto-refresh their live views). Tables whose latest snapshot
-        id still matches the pinned one are SKIPPED after a single
-        metadata-listing read — no view-text regeneration — so calling this
-        on a schedule is O(tables) cheap when nothing moved. Returns only
+        already auto-refresh their live views). Tables whose view's STAMPED
+        ``lake.snapshot_id`` property already equals the latest snapshot id
+        are SKIPPED after one metadata-listing read plus one in-memory
+        catalog property read — no view-text regeneration — so calling this
+        on a schedule is O(tables) cheap when nothing moved. Because the
+        decision reads the stamp on the view itself (written by ``to_view``
+        at registration, so always consistent with the view text) rather
+        than this object's in-memory pins, the fast path works from a FRESH
+        ``Catalog`` in a new process, and a view another handle re-pinned to
+        an older snapshot is correctly re-pointed at current. Returns only
         the views actually re-pointed (plus any never-registered names,
         which are registered fresh)."""
         wanted = self.tables() if names is None else {
@@ -183,16 +189,36 @@ class Catalog:
                 continue
             t = LakeTable.load(self.spark, path)
             sid = t.snapshot_id
-            pin = pins.get(name)
-            if pin is not None and pin == (path, sid) and \
-                    self.spark.catalog.tableExists(name):
-                # fast no-op: nothing committed since registration AND the
-                # session view still exists (someone may have DROPped it
-                # directly — the pin tracks the table, not the view)
+            if self._view_current(name, path, sid):
+                pins[name] = (path, sid)
                 continue
             out[name] = t.to_view(name)
             pins[name] = (path, sid)
         return out
+
+    def _view_current(self, name: str, path: str, sid: int) -> bool:
+        """Does the session view named ``name`` exist AND carry stamps for
+        exactly (``path``, ``sid``)? The skip predicate for
+        :meth:`refresh_views` — process-independent because it trusts only
+        the properties ``to_view`` stamped on the view."""
+        props = self._view_props(name)
+        if props is None:
+            return False
+        return props.get("lake.path") == self.fs.normalize(path) and \
+            props.get("lake.snapshot_id") == str(int(sid))
+
+    def _view_props(self, name: str) -> dict | None:
+        """Stamped TBLPROPERTIES of the session view for ``name``, or None
+        if no such view exists. Existence is probed with the COLLAPSED
+        identifier (``a.b.c`` → ``a_b.c``) — the name the view was actually
+        created under — so >2-part names resolve instead of always reading
+        as absent."""
+        if not self.spark.catalog.tableExists(".".join(_view_parts(name))):
+            return None
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {_view_ident(name)}"
+        ).collect()
+        return {r["key"]: r["value"] for r in rows}
 
     def drop(self, name: str, purge: bool = False) -> None:
         """Remove ``name`` from the catalog (optionally deleting its data)
@@ -220,15 +246,8 @@ class Catalog:
         view, not this object's in-memory pins — so a drop removes views
         registered by any Catalog instance or handle in this session, and
         never drops an unrelated user view that happens to share the name."""
-        # existence probe first, so a TRANSIENT catalog error stays loud
-        # instead of reading as "no view" and silently leaving the dangling
-        # view this method exists to remove
-        if not self.spark.catalog.tableExists(name):
-            return False
-        rows = self.spark.sql(
-            f"SHOW TBLPROPERTIES {_view_ident(name)}"
-        ).collect()
-        props = {r["key"]: r["value"] for r in rows}
         # property read, not view_status: the table itself may already be
         # gone (concurrent purge) and must not block dropping its view
-        return props.get("lake.path") == self.fs.normalize(path)
+        props = self._view_props(name)
+        return props is not None and \
+            props.get("lake.path") == self.fs.normalize(path)

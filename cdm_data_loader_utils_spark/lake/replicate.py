@@ -48,6 +48,7 @@ join, paid only on bootstrap or after losing a needed snapshot.
 from __future__ import annotations
 
 import hashlib
+import warnings
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -104,8 +105,14 @@ class Replicator:
         for old in self._log.versions()[:-4]:
             try:
                 self._log.fs.delete(self._log.path(old))
-            except Exception:  # noqa: BLE001 — pruning is best-effort
-                pass
+            except Exception as e:  # noqa: BLE001 — pruning is best-effort
+                # sync already committed; but a PERSISTENT delete failure
+                # would silently grow state_dir forever — keep it observable
+                warnings.warn(
+                    f"replicator {self.name}: failed to prune state "
+                    f"version {old}: {e}",
+                    stacklevel=2,
+                )
 
     # ------------------------------------------------------------------ sync
     def sync(self) -> dict:

@@ -606,12 +606,18 @@ class LakeTable:
         return [self.snapshot(v) for v in self._versions()]
 
     # ------------------------------------------------------------------ tags
-    def _refs(self) -> VersionedJsonLog:
+    def _refs(self, create: bool = False) -> VersionedJsonLog:
+        """Refs log handle. ``create=True`` only on WRITE paths (``tag``):
+        pure reads — ``tags()`` from ``snapshot(tag=…)``, ``read(tag=…)``,
+        ``expire_snapshots`` on untagged tables — must not pay a directory
+        write (or fail on a read-only mount) just to learn there are no
+        tags; ``list_names`` on the missing dir already yields []."""
         log = getattr(self, "_refs_log", None)
         if log is None:
             d = self.fs.join(self.path, _LOG_DIR, "refs")
-            self.fs.mkdirs(d)
             log = self._refs_log = VersionedJsonLog(self.fs, d)
+        if create:
+            self.fs.mkdirs(log.dir)
         return log
 
     def tags(self) -> dict[str, int]:
@@ -636,7 +642,7 @@ class LakeTable:
         sid = int(snapshot_id if snapshot_id is not None else self.snapshot_id)
         # fail fast on a dangling tag (expired or never-existing snapshot)
         self.snapshot(sid)
-        log = self._refs()
+        log = self._refs(create=True)
         attempt = 0
         while True:
             v = log.latest_version() or 0
@@ -720,9 +726,14 @@ class LakeTable:
         stamps = getattr(self, "_view_stamp", None)
         if stamps is None:
             stamps = self._view_stamp = {}
+        guarded = getattr(self, "_guarded_views", set())
         for name in names:
             try:
-                if sig is not None and sigs.get(name) == sig and \
+                # guarded views never take the stamp-only path: their text
+                # embeds the pinned log version, and even a fence-only
+                # commit advances the log the read-time guard probes
+                if sig is not None and name not in guarded and \
+                        sigs.get(name) == sig and \
                         self._owns_view(name, stamps.get(name)):
                     # visible state unchanged (fence/properties-only
                     # commit) — skip the O(directories) text regeneration,
@@ -738,7 +749,8 @@ class LakeTable:
                     )
                     stamps[name] = int(snap["snapshot_id"])
                     continue
-                self._register_view(name, None)
+                self._register_view(name, None,
+                                    assert_current=name in guarded)
                 if sig is not None:
                     sigs[name] = sig
             except Exception as e:  # noqa: BLE001 — commit is already durable
@@ -898,7 +910,8 @@ class LakeTable:
 
     # ----------------------------------------------------------- SQL surface
     def as_sql(self, snapshot_id: int | None = None,
-               include_meta: bool = False) -> str:
+               include_meta: bool = False,
+               assert_current: bool = False) -> str:
         """The snapshot's state as one self-contained SQL SELECT over native
         ``parquet.`file``` scans — same schema alignment and tombstone
         filtering as :meth:`read`, but expressible as a catalog VIEW so
@@ -1076,18 +1089,45 @@ class LakeTable:
                 f"CAST(NULL AS {f.dataType.simpleString()}) AS {q(f.name)}"
                 for f in out_fields
             )
-            return f"SELECT {cols} FROM (SELECT 1 AS __dummy) WHERE 1=0"
-        body = " UNION ALL ".join(selects)
-        if has_del and not include_meta:
+            sql = f"SELECT {cols} FROM (SELECT 1 AS __dummy) WHERE 1=0"
+        elif has_del and not include_meta:
+            body = " UNION ALL ".join(selects)
             names = ", ".join(q(f.name) for f in out_fields)
-            return (
+            sql = (
                 f"SELECT {names} FROM ({body}) "
                 f"WHERE NOT coalesce({q(META_DELETED)}, false)"
             )
-        return f"SELECT * FROM ({body})"
+        else:
+            body = " UNION ALL ".join(selects)
+            sql = f"SELECT * FROM ({body})"
+        if assert_current:
+            sql = self._wrap_current_guard(sql, int(snap["snapshot_id"]), root)
+        return sql
+
+    def _wrap_current_guard(self, sql: str, sid: int, root: str) -> str:
+        """Wrap a view body with a READ-TIME staleness assert: the pinned
+        snapshot id must still be the table's LATEST log version when the
+        query runs, else the read fails loudly instead of silently serving
+        old-but-valid rows (the footgun :meth:`view_status` can only detect
+        when asked). Latest is probed with one ``text.`` scan over the
+        zero-padded snapshot log names — lexicographic max == numeric max —
+        via the ``_metadata.file_name`` column: metadata-sized (the log
+        keeps ``keep_last`` + grace-retained JSONs only), no data touched,
+        and the glob always matches because the pinned snapshot's own JSON
+        exists. Same assert_true-subquery shape as the row-count
+        completeness guard."""
+        expect = f"v{sid:020d}.json"
+        guard = (
+            f"(SELECT assert_true(max(_metadata.file_name) = '{expect}', "
+            f"'lake view pins snapshot {sid} but the table has newer "
+            f"commits; re-register it (to_view / Catalog.refresh_views)') "
+            f"FROM text.`{root}{_LOG_DIR}/v*.json`) IS NULL"
+        )
+        return f"SELECT * FROM ({sql}) WHERE {guard}"
 
     def to_view(self, view_name: str, snapshot_id: int | None = None,
-                tag: str | None = None) -> str:
+                tag: str | None = None,
+                assert_current: bool = False) -> str:
         """Register this table (optionally a time-travel snapshot) as a SQL
         view: ``db.name`` creates the database in the session catalog. Returns
         the view identifier ready for ``spark.sql(f"SELECT … FROM {ident}")``.
@@ -1103,7 +1143,19 @@ class LakeTable:
         so any session-catalog reader can ask whether the view is current —
         see :meth:`view_status`. ``tag=`` pins to a named snapshot
         (expire-protected, so the view's files can never be reclaimed
-        under it — the safe way to publish a dataset version)."""
+        under it — the safe way to publish a dataset version).
+
+        ``assert_current=True`` opts the view into a READ-TIME staleness
+        guard: every query through it asserts the registered snapshot is
+        still the table's latest, so a safety-critical reader FAILS LOUDLY
+        (assert_true error naming the fix) after another handle or process
+        commits, instead of silently reading old rows until someone calls
+        :meth:`view_status`. Live guarded views re-register on this
+        handle's own commits as usual (never taking the stamp-only fast
+        path — a fence-only commit still advances the log the guard
+        probes); the guard costs one metadata-sized ``text.`` scan of the
+        snapshot log per query. Note :meth:`Catalog.refresh_views`
+        re-registers without the guard — re-arm via ``to_view``."""
         if tag is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR tag, not both")
@@ -1111,7 +1163,15 @@ class LakeTable:
         # explicit (re-)registration is the documented heal path after any
         # out-of-band disk change — verify directories afresh
         getattr(self, "_clean_dirs", {}).clear()
-        ident = self._register_view(view_name, snapshot_id)
+        guarded = getattr(self, "_guarded_views", None)
+        if guarded is None:
+            guarded = self._guarded_views = set()
+        if assert_current:
+            guarded.add(view_name)
+        else:
+            guarded.discard(view_name)
+        ident = self._register_view(view_name, snapshot_id,
+                                    assert_current=assert_current)
         live = getattr(self, "_live_views", None)
         if live is None:
             live = self._live_views = set()
@@ -1130,6 +1190,7 @@ class LakeTable:
         if live is not None:
             live.discard(view_name)
         getattr(self, "_view_sig", {}).pop(view_name, None)
+        getattr(self, "_guarded_views", set()).discard(view_name)
         self.spark.sql(f"DROP VIEW IF EXISTS {_view_ident(view_name)}")
 
     @staticmethod
@@ -1159,7 +1220,8 @@ class LakeTable:
             "current": latest == pinned,
         }
 
-    def _register_view(self, view_name: str, snapshot_id: int | None) -> str:
+    def _register_view(self, view_name: str, snapshot_id: int | None,
+                       assert_current: bool = False) -> str:
         parts = _view_parts(view_name)
         if len(parts) == 2:
             self.spark.sql(
@@ -1180,7 +1242,8 @@ class LakeTable:
             f"'lake.path'='{esc(self.path)}')"
         )
         self.spark.sql(
-            f"CREATE OR REPLACE VIEW {ident} {props} AS {self.as_sql(resolved)}"
+            f"CREATE OR REPLACE VIEW {ident} {props} AS "
+            f"{self.as_sql(resolved, assert_current=assert_current)}"
         )
         stamps = getattr(self, "_view_stamp", None)
         if stamps is None:

@@ -476,3 +476,186 @@ def ivf_assign(
         best_id = F.when(better, F.lit(i)).otherwise(best_id)
         best_score = F.when(better, s).otherwise(best_score)
     return df.withColumn("centroid_id", best_id)
+
+
+# --------------------------------------------------------------- batched ANN
+# Per-query APIs above take ONE literal query vector — right for ad-hoc
+# lookups, wrong for offline scoring of many queries (Q driver round-trips,
+# Q bucket/assignment recomputations). The *_batch forms take the queries AS
+# A DATAFRAME (qid, qvec) and answer all of them in one job: queries are
+# broadcast (tiny side), the corpus side stays a pruned scan + one shuffle
+# by qid for the per-query top-k. No reference counterpart (no vector ops
+# in cdm-data-loader-utils); this is the recall-measurement and
+# batch-serving surface for the ANN family.
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k per query, all queries in one job — the oracle for
+    recall@k and the documented batched-offline-scoring shape (one
+    broadcast crossJoin stage; N×Q scored rows, then a qid-partitioned
+    top-k). Returns (qid, vec_id, score, rank)."""
+    from pyspark.sql.window import Window
+
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _probe_masks(num_planes: int, multiprobe: int) -> list[int]:
+    """All XOR masks within Hamming distance ``multiprobe`` of a bucket —
+    driver-enumerated literals (C(planes, ≤m) values, tiny)."""
+    return sorted(
+        m for m in range(1 << num_planes)
+        if bin(m).count("1") <= max(0, multiprobe)
+    )
+
+
+def ann_topk_lsh_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 6,
+    seed: int = 42,
+    multiprobe: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """LSH approximate top-k for a DataFrame of queries in one job.
+
+    Both sides are bucketed with the SAME plan-time hyperplanes as
+    :func:`lsh_bucket`; each query explodes into its multi-probe bucket set
+    (XOR-mask literals), and the corpus joins the broadcast probe list on
+    bucket equality — each corpus vector lives in exactly one bucket and
+    probe buckets are distinct, so no post-join dedup is needed. At scale
+    with the corpus persisted partitioned by ``bucket``, the join is a
+    partition-pruned scan of the probed buckets only. Returns
+    (qid, vec_id, score, rank)."""
+    from pyspark.sql.window import Window
+
+    bucketed = lsh_bucket(df, dim, num_planes, seed, vec_col)
+    qb = lsh_bucket(
+        queries.select(F.col(qid_col), F.col(qvec_col)),
+        dim, num_planes, seed, vec_col=qvec_col,
+    ).withColumnRenamed("bucket", "__qbucket")
+    masks = F.array(*[
+        F.lit(m) for m in _probe_masks(num_planes, multiprobe)
+    ])
+    probes = qb.select(
+        F.col(qid_col), F.col(qvec_col), F.col("__qbucket"),
+        F.explode(masks).alias("__mask"),  # generator needs its own projection
+    ).select(
+        F.col(qid_col), F.col(qvec_col),
+        F.col("__qbucket").bitwiseXOR(F.col("__mask")).alias("__probe"),
+    )
+    scored = bucketed.join(
+        F.broadcast(probes), F.col("bucket") == F.col("__probe")
+    ).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF approximate top-k for a DataFrame of queries in one job: the
+    vector-to-cell assignment is computed ONCE (vs once per query in
+    :func:`ivf_topk`), each query picks its ``nprobe`` nearest cells via a
+    broadcast Q×C join (no driver collect), and the corpus joins the
+    broadcast (qid, cell) probe list. At scale with the assignment persisted
+    partitioned by ``centroid_id`` this scans only the probed cells.
+    Returns (qid, vec_id, score, rank)."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids_by_id(df, n_centroids, vec_col, id_col)
+    qs = queries.crossJoin(F.broadcast(cents)).select(
+        F.col(qid_col), F.col(qvec_col), F.col("cid"),
+        F.round(cosine(F.col(qvec_col), F.col("cv")), 6).alias("__s"),
+    )
+    wq = Window.partitionBy(qid_col).orderBy(
+        F.col("__s").desc(), F.col("cid").asc()
+    )
+    probes = (
+        qs.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col(qid_col), F.col(qvec_col), F.col("cid"))
+    )
+    assigned = ivf_assign_df(df, cents, vec_col, id_col)
+    scored = assigned.join(
+        F.broadcast(probes), F.col("centroid_id") == F.col("cid")
+    ).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the exact
+    one (both in the (qid, vec_id, rank) shape the batch operators emit).
+    Returns (qid, hits, recall). The number a user tuning the
+    recall/latency knobs (planes/multiprobe, nprobe) actually needs."""
+    e = exact.filter(F.col("rank") <= k).select(qid_col, id_col)
+    a = approx.filter(F.col("rank") <= k).select(qid_col, id_col)
+    hits = a.join(e, [qid_col, id_col]).groupBy(qid_col).agg(
+        F.count("*").alias("hits")
+    )
+    return (
+        e.groupBy(qid_col).agg(F.count("*").alias("__n"))
+        .join(hits, qid_col, "left")
+        .select(
+            F.col(qid_col),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("__n"), 4
+            ).alias("recall"),
+        )
+    )

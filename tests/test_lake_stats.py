@@ -1183,3 +1183,115 @@ def test_snapshot_tags_pin_reads_and_survive_expire(spark, warehouse):
         t.snapshot(v1_sid)
     with pytest.raises(KeyError, match="no tag"):
         t.read(tag="nope")
+
+
+def test_tags_read_paths_do_not_create_refs_dir(spark, warehouse):
+    """Pure reads (tags() via snapshot/read/expire on an untagged table)
+    must not pay a directory WRITE just to learn there are no tags — a
+    read-only consumer or read-only mount would fail on it. The refs dir
+    appears only on the first tag() write."""
+    path = os.path.join(warehouse, "t")
+    t = LakeTable.create(spark, path, SCHEMA)
+    t.append(_df(spark, _rows(3)))
+    refs_dir = os.path.join(path, "_log", "refs")
+    assert t.tags() == {}
+    t.read().count()
+    t.snapshot()
+    t.expire_snapshots(keep_last=1, grace_seconds=0)
+    assert not os.path.exists(refs_dir), "read path created the refs dir"
+    t.tag("v1")
+    assert os.path.exists(refs_dir)
+    assert t.tags() == {"v1": t.snapshot_id}
+
+
+# --------------------------------------------------- read-time view guard
+def test_to_view_assert_current_fails_loudly_on_stale_read(spark, warehouse):
+    """Opt-in read-time staleness guard: after another handle commits, a
+    query through the guarded view ERRORS (naming the fix) instead of
+    silently serving the old-but-valid pinned rows; re-registering heals
+    it, and this handle's own commits keep the live guarded view readable
+    via auto-refresh."""
+    path = os.path.join(warehouse, "t")
+    a = LakeTable.create(spark, path, SCHEMA, bucket_by="k", bucket_count=2)
+    a.append(_df(spark, _rows(4)))
+    ident = a.to_view("guard.v", assert_current=True)
+    assert spark.sql(f"SELECT count(*) AS n FROM {ident}").collect()[0].n == 4
+
+    b = LakeTable.load(spark, path)  # stand-in for another process
+    b.append(_df(spark, _rows(2, base_day=9)))
+    with pytest.raises(Exception, match="newer commits"):
+        spark.sql(f"SELECT count(*) AS n FROM {ident}").collect()
+
+    # re-register → current again
+    b.to_view("guard.v", assert_current=True)
+    assert spark.sql(f"SELECT count(*) AS n FROM {ident}").collect()[0].n == 6
+    # b's OWN commit auto-refreshes its live guarded view (and must not
+    # take the stamp-only fast path, whose text would trip its own guard)
+    b.append(_df(spark, _rows(1, base_day=12)))
+    assert spark.sql(f"SELECT count(*) AS n FROM {ident}").collect()[0].n == 7
+    # a metadata-only commit (fence write) also advances the probed log —
+    # the guarded view must still read after auto-refresh
+    b.append(_df(spark, []), fence_key="noop-1")
+    assert spark.sql(f"SELECT count(*) AS n FROM {ident}").collect()[0].n == 7
+    # unguarded views keep the old silent-staleness behavior
+    b.to_view("guard.u")
+    c = LakeTable.load(spark, path)
+    c.append(_df(spark, _rows(1, base_day=13)))
+    assert spark.sql("SELECT count(*) AS n FROM guard.u").collect()[0].n == 7
+
+
+# ------------------------------------------- catalog cross-process refresh
+def test_catalog_refresh_views_noop_from_fresh_catalog(spark, warehouse):
+    """The refresh fast path must work from a FRESH Catalog (cron process):
+    with nothing committed since registration, refresh_views() returns {}
+    and regenerates no view text — the decision reads the stamped
+    lake.snapshot_id on the view, not in-memory pins."""
+    cat = Catalog(spark, warehouse)
+    t = cat.create_table("fp.t", SCHEMA, bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(4)))
+    cat.register_views()
+
+    cat2 = Catalog(spark, warehouse)  # fresh object, empty pins
+    assert cat2.refresh_views() == {}
+    assert spark.sql("SELECT count(*) AS n FROM fp.t").collect()[0].n == 4
+    # a commit is then detected by the same fresh catalog
+    other = LakeTable.load(spark, cat.resolve("fp.t"))
+    other.append(_df(spark, _rows(2, base_day=9)))
+    assert set(cat2.refresh_views()) == {"fp.t"}
+    assert spark.sql("SELECT count(*) AS n FROM fp.t").collect()[0].n == 6
+
+
+def test_catalog_refresh_views_repoints_view_repinned_by_other_handle(
+        spark, warehouse):
+    """If another handle re-registered the catalog's view pinned to an OLD
+    snapshot, the in-memory pin still matches latest — but refresh_views'
+    contract is re-point-at-CURRENT, so the stamped-id check must catch it."""
+    cat = Catalog(spark, warehouse)
+    t = cat.create_table("rp.t", SCHEMA, bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(3)))
+    old_sid = t.snapshot_id
+    t.append(_df(spark, _rows(2, base_day=9)))
+    cat.register_views()
+    assert spark.sql("SELECT count(*) AS n FROM rp.t").collect()[0].n == 5
+    # another handle pins the same view name to the OLD snapshot
+    other = LakeTable.load(spark, cat.resolve("rp.t"))
+    other.to_view("rp.t", snapshot_id=old_sid)
+    assert spark.sql("SELECT count(*) AS n FROM rp.t").collect()[0].n == 3
+    refreshed = cat.refresh_views()
+    assert set(refreshed) == {"rp.t"}, refreshed
+    assert spark.sql("SELECT count(*) AS n FROM rp.t").collect()[0].n == 5
+
+
+def test_catalog_drop_removes_view_for_three_part_name(spark, warehouse):
+    """>2-part names collapse (a.b.c -> a_b.c) at view creation; the drop
+    path must probe existence under the SAME collapsed identifier or it
+    leaves exactly the dangling view it documents it removes."""
+    cat = Catalog(spark, warehouse)
+    t = cat.create_table("a.b.c", SCHEMA)
+    t.append(_df(spark, _rows(3)))
+    cat.register_views()
+    assert spark.sql("SELECT count(*) AS n FROM a_b.c").collect()[0].n == 3
+    cat.drop("a.b.c")
+    with pytest.raises(Exception,
+                       match="TABLE_OR_VIEW_NOT_FOUND|not found|cannot be found"):
+        spark.sql("SELECT count(*) AS n FROM a_b.c").collect()

@@ -646,3 +646,69 @@ def test_table_stats_and_maintenance_plan(spark, warehouse):
     assert pu["compact_buckets"] == [] and pu["compact_unbucketed"]
     u.compact()
     assert not u.maintenance_plan(max_files_per_bucket=2)["compact_unbucketed"]
+
+
+def test_replicator_racing_syncs_lose_loudly(spark, warehouse):
+    """Two replicators on one state_dir: the docstring promise is that the
+    loser surfaces as FileExistsError, never last-writer-wins. Simulated
+    deterministically: A reads state, B completes a full clean sync, A then
+    proceeds from its stale read — its intent write targets the version
+    slot B already claimed. Destination state must equal one clean sync."""
+    from cdm_data_loader_utils_spark.lake.replicate import Replicator
+
+    src_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    up = LakeTable.create(spark, os.path.join(warehouse, "up"), SCHEMA,
+                          bucket_by="k", bucket_count=4)
+    down = LakeTable.create(spark, os.path.join(warehouse, "down"), SCHEMA,
+                            bucket_by="k", bucket_count=2)
+    state = os.path.join(warehouse, "state")
+    rep_a = Replicator(up, down, ["k"], state)
+    rep_b = Replicator(up, down, ["k"], state)
+    up.merge_cdc(spark.createDataFrame(
+        [("a", 1, "i", 1), ("b", 2, "i", 2)], src_schema), key_cols=["k"])
+
+    stale = rep_a._state()        # A reads...
+    r_b = rep_b.sync()            # ...B wins the race with a full sync
+    assert r_b["events"] == 2
+    rep_a._state = lambda: stale  # A proceeds from its stale read
+    with pytest.raises(FileExistsError):
+        rep_a.sync()
+    # destination equals one clean sync's result; no duplicate application
+    assert {(r.k, r.v) for r in down.read().collect()} == {("a", 1), ("b", 2)}
+    assert rep_b.watermark() == up.snapshot_id
+
+
+def test_replicator_warns_when_state_prune_fails(spark, warehouse):
+    """State pruning is best-effort, but a PERSISTENT delete failure must
+    stay observable — one warning per unprunable version, sync still
+    succeeds."""
+    from cdm_data_loader_utils_spark.lake.replicate import Replicator
+
+    src_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    up = LakeTable.create(spark, os.path.join(warehouse, "up"), SCHEMA,
+                          bucket_by="k", bucket_count=2)
+    down = LakeTable.create(spark, os.path.join(warehouse, "down"), SCHEMA,
+                            bucket_by="k", bucket_count=2)
+    rep = Replicator(up, down, ["k"], os.path.join(warehouse, "state"))
+    for i in range(4):  # build up >4 state versions so pruning has work
+        up.merge_cdc(spark.createDataFrame(
+            [(f"k{i}", i, "i", i + 1)], src_schema), key_cols=["k"])
+        rep.sync()
+
+    def boom(_path):
+        raise OSError("injected delete failure")
+
+    rep._log.fs.delete = boom
+    up.merge_cdc(spark.createDataFrame(
+        [("z", 99, "i", 100)], src_schema), key_cols=["k"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r = rep.sync()
+    assert r["events"] == 1, "sync itself must still succeed"
+    assert any("failed to prune state" in str(x.message) for x in w)

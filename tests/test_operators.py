@@ -660,3 +660,77 @@ def test_real_codec_seam_with_pil_if_present(spark):
         from cdm_data_loader_utils_spark.operators.multimodal import _decode_fake
 
         set_decoder(_decode_fake)
+
+
+# ------------------------------------------------------------- batched ANN
+def test_batch_topk_matches_per_query_apis(spark):
+    """The *_batch forms must agree with the single-query APIs at identical
+    settings, and with each other at exhaustive settings (multiprobe =
+    planes / nprobe = n_centroids ⇒ exact)."""
+    from cdm_data_loader_utils_spark.operators.similarity import (
+        ann_topk_lsh_batch,
+        cosine_topk_batch,
+        ivf_topk,
+        ivf_topk_batch,
+        recall_at_k,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    qs = (
+        e.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    exact = cosine_topk_batch(e, qs, k=5)
+    # per-qid agreement with the single-query exact API
+    q0 = qs.orderBy("qid").first()
+    single = cosine_topk(e, list(q0.qvec), k=5)
+    batch0 = exact.filter(F.col("qid") == q0.qid).orderBy("rank")
+    assert [(r.vec_id, r.score) for r in batch0.collect()] == [
+        (r.vec_id, r.score) for r in single.collect()
+    ]
+    # exhaustive LSH/IVF settings recall == 1.0 for every query
+    lsh = ann_topk_lsh_batch(e, qs, dim, k=5, num_planes=4, multiprobe=4)
+    ivf_b = ivf_topk_batch(e, qs, k=5, n_centroids=4, nprobe=4)
+    for approx in (lsh, ivf_b):
+        recs = recall_at_k(approx, exact, 5).collect()
+        assert len(recs) == 5 and all(r.recall == 1.0 for r in recs), recs
+    # batch IVF at restrictive nprobe matches the per-query API per qid
+    ivf_single = ivf_topk(e, list(q0.qvec), k=5, n_centroids=4, nprobe=2)
+    ivf_batch = ivf_topk_batch(e, qs, k=5, n_centroids=4, nprobe=2)
+    got = [
+        (r.vec_id, r.score)
+        for r in ivf_batch.filter(F.col("qid") == q0.qid).orderBy("rank").collect()
+    ]
+    assert got == [(r.vec_id, r.score) for r in ivf_single.collect()]
+
+
+def test_batch_lsh_multiprobe_widens_candidates(spark):
+    """multiprobe=m probes exactly the C(planes, ≤m) XOR-mask buckets; more
+    probes ⇒ recall monotonically non-decreasing."""
+    from cdm_data_loader_utils_spark.operators.similarity import (
+        _probe_masks,
+        ann_topk_lsh_batch,
+        cosine_topk_batch,
+        recall_at_k,
+    )
+
+    assert _probe_masks(4, 0) == [0]
+    assert _probe_masks(4, 1) == [0, 1, 2, 4, 8]
+    assert len(_probe_masks(6, 2)) == 1 + 6 + 15
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    qs = (
+        e.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    exact = cosine_topk_batch(e, qs, k=5)
+    avg = {}
+    for mp in (0, 1, 4):
+        a = ann_topk_lsh_batch(e, qs, dim, k=5, num_planes=4, multiprobe=mp)
+        avg[mp] = (
+            recall_at_k(a, exact, 5)
+            .agg(F.avg("recall").alias("r")).collect()[0].r
+        )
+    assert avg[0] <= avg[1] <= avg[4] == 1.0, avg
