@@ -189,23 +189,22 @@ class Catalog:
                 continue
             t = LakeTable.load(self.spark, path)
             sid = t.snapshot_id
-            if self._view_current(name, path, sid):
+            props = self._view_props(name)
+            if props is not None and \
+                    props.get("lake.path") == self.fs.normalize(path) and \
+                    props.get("lake.snapshot_id") == str(int(sid)):
+                # fast no-op: the stamp to_view wrote (always consistent
+                # with the view text) already points at the latest snapshot
                 pins[name] = (path, sid)
                 continue
-            out[name] = t.to_view(name)
+            # a re-registration preserves the read-time staleness guard the
+            # view opted into (stamped as lake.assert_current)
+            out[name] = t.to_view(
+                name,
+                assert_current=(props or {}).get("lake.assert_current") == "true",
+            )
             pins[name] = (path, sid)
         return out
-
-    def _view_current(self, name: str, path: str, sid: int) -> bool:
-        """Does the session view named ``name`` exist AND carry stamps for
-        exactly (``path``, ``sid``)? The skip predicate for
-        :meth:`refresh_views` — process-independent because it trusts only
-        the properties ``to_view`` stamped on the view."""
-        props = self._view_props(name)
-        if props is None:
-            return False
-        return props.get("lake.path") == self.fs.normalize(path) and \
-            props.get("lake.snapshot_id") == str(int(sid))
 
     def _view_props(self, name: str) -> dict | None:
         """Stamped TBLPROPERTIES of the session view for ``name``, or None

@@ -1154,8 +1154,10 @@ class LakeTable:
         handle's own commits as usual (never taking the stamp-only fast
         path — a fence-only commit still advances the log the guard
         probes); the guard costs one metadata-sized ``text.`` scan of the
-        snapshot log per query. Note :meth:`Catalog.refresh_views`
-        re-registers without the guard — re-arm via ``to_view``."""
+        snapshot log per query. The opt-in is stamped as view property
+        ``lake.assert_current`` so :meth:`Catalog.refresh_views` preserves
+        the guard when it re-points the view; re-registering through
+        ``to_view`` without the flag disarms it."""
         if tag is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR tag, not both")
@@ -1237,9 +1239,12 @@ class LakeTable:
         def esc(v: str) -> str:
             return v.replace("'", "''")
 
+        guard_prop = (
+            ", 'lake.assert_current'='true'" if assert_current else ""
+        )
         props = (
             f"TBLPROPERTIES ('lake.snapshot_id'='{int(resolved)}', "
-            f"'lake.path'='{esc(self.path)}')"
+            f"'lake.path'='{esc(self.path)}'{guard_prop})"
         )
         self.spark.sql(
             f"CREATE OR REPLACE VIEW {ident} {props} AS "

@@ -91,3 +91,14 @@ def plan_report(df: DataFrame) -> dict:
         "shuffles": shuffle_count(df),
         "codegen_spans": codegen_span_count(df),
     }
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition-column filters applied at LISTING time (partition pruning
+    proof — directories outside the filter are never listed or scanned)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", physical_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out

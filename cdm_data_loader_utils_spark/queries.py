@@ -341,6 +341,63 @@ FROM documents
 """
 
 
+_STREAM_INGEST_CACHE: dict[str, DataFrame] = {}
+
+
+def q_lake_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.readStream.format("lake")`` gated end-to-end: the documents
+    table lands in a lake table as three append commits with a compaction
+    in between (row-preserving — must be invisible to the stream), then the
+    Python DataSource streaming source consumes the snapshot log (offsets =
+    snapshot ids, one Arrow-batch partition per added file),
+    ``processAllAvailable`` drains it exactly-once into a memory sink, and
+    the streamed rows aggregate to the same answer as the parquet source.
+    Reference parity: Delta-as-streaming-source ingestion (the reference's
+    importers tail Delta tables; this is the engine-native equivalent)."""
+    got = _STREAM_INGEST_CACHE.get(sf_dir)
+    if got is None:
+        import atexit
+        import shutil
+
+        from .lake.table import LakeTable
+        from .streaming.lake_source import register_lake_source
+
+        register_lake_source(spark)
+        tmp = tempfile.mkdtemp(prefix="lake_stream_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable.create(spark, os.path.join(tmp, "docs"), docs.schema,
+                             bucket_by="doc_id", bucket_count=4)
+        t.append(docs.filter(F.col("doc_id") % 3 == 0))
+        t.append(docs.filter(F.col("doc_id") % 3 == 1))
+        t.compact()  # rewrites streamed rows; the stream must skip it
+        t.append(docs.filter(F.col("doc_id") % 3 == 2))
+        sink = "lake_stream_ingest_sink"
+        q = (
+            spark.readStream.format("lake").load(t.path)
+            .writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _STREAM_INGEST_CACHE[sf_dir] = spark.table(sink)
+    return got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+_STREAM_INGEST_ORACLE = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # record sources round-tripped against the documents table (S1 / S8 / S9):
 # deterministic text/XML/FASTA files are generated FROM documents.parquet,
@@ -1591,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_profile": q_text_profile,
         "multimodal_features": q_multimodal_features,
+        "lake_stream_ingest": q_lake_stream_ingest,
         "lake_delete": q_lake_delete,
         "lww_latest_turn": q_lww_latest_turn,
         "cdc_replay_final_state": q_cdc_replay_final_state,
@@ -1646,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "text_profile": _TEXT_PROFILE_ORACLE,
+        "lake_stream_ingest": _STREAM_INGEST_ORACLE,
         "lake_delete": _LAKE_DELETE_ORACLE,
         "lww_latest_turn": _LWW_ORACLE,
         "cdc_replay_final_state": _REPLAY_ORACLE,

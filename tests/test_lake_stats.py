@@ -1295,3 +1295,26 @@ def test_catalog_drop_removes_view_for_three_part_name(spark, warehouse):
     with pytest.raises(Exception,
                        match="TABLE_OR_VIEW_NOT_FOUND|not found|cannot be found"):
         spark.sql("SELECT count(*) AS n FROM a_b.c").collect()
+
+
+def test_catalog_refresh_preserves_assert_current_guard(spark, warehouse):
+    """refresh_views must re-arm the read-time staleness guard a view opted
+    into (stamped as lake.assert_current) — a refresh that silently
+    disarmed it would turn the safety-critical reader back into the silent
+    staleness it opted out of."""
+    cat = Catalog(spark, warehouse)
+    t = cat.create_table("gp.t", SCHEMA, bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(4)))
+    t.to_view("gp.t", assert_current=True)
+
+    other = LakeTable.load(spark, cat.resolve("gp.t"))
+    other.append(_df(spark, _rows(2, base_day=9)))
+    with pytest.raises(Exception, match="newer commits"):
+        spark.sql("SELECT count(*) AS n FROM gp.t").collect()
+    assert set(cat.refresh_views()) == {"gp.t"}
+    assert spark.sql("SELECT count(*) AS n FROM gp.t").collect()[0].n == 6
+    # still guarded after the refresh
+    another = LakeTable.load(spark, cat.resolve("gp.t"))
+    another.append(_df(spark, _rows(1, base_day=12)))
+    with pytest.raises(Exception, match="newer commits"):
+        spark.sql("SELECT count(*) AS n FROM gp.t").collect()

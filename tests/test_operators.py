@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -734,3 +735,73 @@ def test_batch_lsh_multiprobe_widens_candidates(spark):
             .agg(F.avg("recall").alias("r")).collect()[0].r
         )
     assert avg[0] <= avg[1] <= avg[4] == 1.0, avg
+
+
+# --------------------------------------------------------- persisted ANN index
+def test_lsh_index_persisted_probe_is_partition_pruned(spark, tmp_path):
+    """The persisted-index promise made real: query_lsh_index must (a) agree
+    with the in-memory ann_topk_lsh at identical settings and (b) carry the
+    probe as a PARTITION filter — only probed bucket directories are listed,
+    the plan's partition filters prove it."""
+    from cdm_data_loader_utils_spark.operators.ann_index import (
+        query_lsh_index,
+        write_lsh_index,
+    )
+    from cdm_data_loader_utils_spark.operators.similarity import ann_topk_lsh
+    from cdm_data_loader_utils_spark.plans.inspect import partition_filters
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    idx = str(tmp_path / "lsh_idx")
+    meta = write_lsh_index(e, idx, dim, num_planes=4, seed=42)
+    assert meta["num_planes"] == 4
+    q = list(e.orderBy("vec_id").first()["embedding"])
+
+    got = query_lsh_index(spark, idx, q, k=5, multiprobe=1)
+    exp = ann_topk_lsh(e, q, k=5, num_planes=4, seed=42, multiprobe=1)
+    assert [(r.vec_id, r.score) for r in got.collect()] == [
+        (r.vec_id, r.score) for r in exp.collect()
+    ]
+    pf = partition_filters(got)
+    assert any("bucket" in f for f in pf), pf
+
+    # wrong-dim and wrong-kind queries fail loudly
+    with pytest.raises(ValueError, match="dim"):
+        query_lsh_index(spark, idx, q + [0.0])
+
+
+def test_ivf_index_persisted_probe_is_partition_pruned(spark, tmp_path):
+    """query_ivf_index picks cells driver-side against the STORED codebook
+    (real cid values, not positions) and scans only those partitions;
+    results agree with the in-memory ivf_topk."""
+    from cdm_data_loader_utils_spark.operators.ann_index import (
+        query_ivf_index,
+        query_lsh_index,
+        write_ivf_index,
+    )
+    from cdm_data_loader_utils_spark.operators.similarity import ivf_topk
+    from cdm_data_loader_utils_spark.plans.inspect import partition_filters
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    meta = write_ivf_index(e, idx, n_centroids=4)
+    assert len(meta["codebook"]) == 4
+    q = list(e.orderBy(F.col("vec_id").desc()).first()["embedding"])
+
+    got = query_ivf_index(spark, idx, q, k=5, nprobe=2)
+    exp = ivf_topk(e, q, k=5, n_centroids=4, nprobe=2)
+    assert [(r.vec_id, r.score) for r in got.collect()] == [
+        (r.vec_id, r.score) for r in exp.collect()
+    ]
+    pf = partition_filters(got)
+    assert any("centroid_id" in f for f in pf), pf
+
+    # exhaustive probe == exact top-k from the index
+    from cdm_data_loader_utils_spark.operators.similarity import cosine_topk
+    full = query_ivf_index(spark, idx, q, k=5, nprobe=4)
+    assert [(r.vec_id, r.score) for r in full.collect()] == [
+        (r.vec_id, r.score) for r in cosine_topk(e, q, k=5).collect()
+    ]
+    # kind mismatch fails loudly
+    with pytest.raises(ValueError, match="not lsh"):
+        query_lsh_index(spark, idx, q)

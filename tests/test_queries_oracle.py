@@ -27,6 +27,7 @@ SUBSET = [
     "text_profile",
     "lake_delete",
     "sha_fingerprints",
+    "lake_stream_ingest",
 ]
 
 

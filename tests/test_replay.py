@@ -286,3 +286,50 @@ def test_all_invalid_batch_rejects_instead_of_crashing(spark, warehouse):
     assert m["rows_read"] == 2 and m["rows_invalid"] == 2
     assert audit.rejects.read().filter(
         F.col("run_id") == "run-all-bad").count() == 2
+
+
+def test_maintenance_racing_live_replay_converges(spark, warehouse):
+    """Ops-loop soak: a maintenance thread running maintenance_plan-driven
+    compact_buckets + expire_snapshots RACES a live replay on the same
+    table (second handle = stand-in for a cron process). Every conflict
+    must resolve through the optimistic-retry loop, and the final state
+    must still equal the oracle fold — maintenance may reorganize files
+    but never change visible rows. Default expire grace protects the
+    replay's pinned snapshots' files."""
+    import threading
+
+    events = _events(spark, n_events=8000, batch_size=500)  # 16 batches
+    table = _mk_table(spark, warehouse)
+    maint = LakeTable.load(spark, table.path)
+    stop = threading.Event()
+    maint_err: list[BaseException] = []
+    maint_runs = {"compactions": 0, "expires": 0}
+
+    def maintenance_loop():
+        try:
+            while not stop.is_set():
+                plan = maint.maintenance_plan(max_files_per_bucket=2)
+                if plan["compact_buckets"]:
+                    maint.compact_buckets(bucket_keys=plan["compact_buckets"])
+                    maint_runs["compactions"] += 1
+                maint.expire_snapshots(keep_last=2)  # default 600s grace
+                maint_runs["expires"] += 1
+        except BaseException as e:  # noqa: BLE001 — re-raised by the test
+            maint_err.append(e)
+
+    th = threading.Thread(target=maintenance_loop)
+    th.start()
+    try:
+        results = replay_batches(events, table, None, "soak-run")
+    finally:
+        stop.set()
+        th.join(timeout=120)
+    assert not th.is_alive(), "maintenance thread wedged"
+    assert not maint_err, maint_err
+    assert all(not r.skipped for r in results)
+    assert maint_runs["expires"] > 0, "maintenance never ran during replay"
+    _check_final(table, events)
+    # the table still compacts/expires cleanly after the race
+    table.compact_buckets()
+    table.expire_snapshots(keep_last=1, grace_seconds=0)
+    _check_final(table, events)
