@@ -8,6 +8,7 @@
     python -m cdm_data_loader_utils_spark.cli maintain --table ... [--apply] [--apply-rebucket]
     python -m cdm_data_loader_utils_spark.cli replicate --src ... --dst ... --key-cols k --state-dir ...
     python -m cdm_data_loader_utils_spark.cli refresh-views --warehouse ... [--names a.t,b.u]
+    python -m cdm_data_loader_utils_spark.cli rollback --table ... --snapshot-id N | --tag name
 
 Every lifecycle operation an operator schedules from cron has a command —
 the reference ships one console script per operation
@@ -183,6 +184,20 @@ def cmd_refresh_views(args) -> None:
         print("all views current; nothing re-pointed")
 
 
+def cmd_rollback(args) -> None:
+    """Restore a table to a previous snapshot (by id or tag) as a new
+    committed, auditable operation — metadata-only, history preserved."""
+    from .lake.table import LakeTable
+
+    spark = get_spark("cdc-rollback")
+    table = LakeTable.load(spark, args.table)
+    was = table.snapshot_id
+    sid = table.rollback_to(args.snapshot_id, tag=args.tag)
+    print(f"rolled back {args.table}: snapshot {was} -> {sid} "
+          f"(restored state of "
+          f"{args.tag if args.tag else args.snapshot_id})")
+
+
 def cmd_metrics(args) -> None:
     from .audit.tables import AuditStore
 
@@ -273,7 +288,15 @@ def main(argv: list[str] | None = None) -> None:
                          "catalog-registered table)")
     rv.set_defaults(fn=cmd_refresh_views)
 
+    rb = sub.add_parser("rollback")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--snapshot-id", type=int, default=None)
+    rb.add_argument("--tag", default=None)
+    rb.set_defaults(fn=cmd_rollback)
+
     args = p.parse_args(argv)
+    if args.cmd == "rollback" and (args.snapshot_id is None) == (args.tag is None):
+        p.error("rollback: pass exactly one of --snapshot-id / --tag")
     args.fn(args)
 
 

@@ -2405,6 +2405,70 @@ class LakeTable:
         )
         return self._commit(nxt)
 
+    def rollback_to(self, snapshot_id: int | None = None, *,
+                    tag: str | None = None,
+                    as_of_timestamp_ms: int | None = None,
+                    summary: dict | None = None) -> int:
+        """Restore the table to a previous snapshot's state as a NEW commit
+        (Iceberg ``rollback_to_snapshot`` / Delta RESTORE parity; the
+        reference restores by re-reading an old Delta version,
+        ``audit/run.py:64-114`` — this makes the restore itself a committed,
+        auditable operation). Target by id, :meth:`tag`, or timestamp.
+
+        METADATA-ONLY: the new snapshot re-references the target's
+        manifests (or rebuilds them from its file list for legacy v1
+        snapshots) — no data is rewritten, and the referenced files are
+        retention-pinned by the new snapshot, so a later
+        :meth:`expire_snapshots` cannot pull them out from under it.
+        History is preserved (roll forward by rolling "back" to a
+        pre-rollback id). Restores the DATA, the SCHEMA, and the bucket
+        layout as of the target — schema and layout ride each snapshot in
+        this format, so a rollback across a type-widening or a re-bucket
+        reverts those too.
+
+        Kept from the CURRENT state, not the target: table ``properties``
+        (config, not data) and the FENCE map — so change batches already
+        applied before the target snapshot stay deduplicated, and
+        re-delivering them after a rollback is a fenced no-op. To
+        re-ingest history into the rolled-back table, replay under a new
+        ``run_id``. Rolling back to the current snapshot warns and
+        commits nothing. A live stream over this table sees the commit as
+        row-changing and fails loudly (``onDataChange=skip`` to ignore)."""
+        import warnings
+
+        target = self.snapshot(snapshot_id, as_of_timestamp_ms, tag)
+        target_id = int(target["snapshot_id"])
+
+        def _once() -> int:
+            base = self.snapshot()
+            if int(base["snapshot_id"]) == target_id:
+                warnings.warn(
+                    f"rollback_to: snapshot {target_id} is already current "
+                    f"at {self.path}; nothing committed"
+                )
+                return target_id
+            if "manifests" in target:
+                manifests = dict(target["manifests"])
+            else:  # legacy v1 snapshot: inline file list → fresh manifests
+                manifests = self._manifests_from_entries(self.files(target))
+            nxt = self._next_snap(
+                base, "rollback", manifests, summary, None,
+                schemas=dict(target["schemas"]),
+                current_schema_id=int(target["current_schema_id"]),
+            )
+            nxt["bucket_by"] = target.get("bucket_by")
+            nxt["bucket_count"] = target.get("bucket_count")
+            nxt["summary"].setdefault("rollback_of", target_id)
+            # the live file set just changed shape: the view generator's
+            # verified-clean directory cache may hold entries whose
+            # expected file sets no longer match — drop it wholesale
+            cache = getattr(self, "_clean_dirs", None)
+            if cache:
+                cache.clear()
+            return self._commit(nxt)
+
+        return self._retry_commit(_once)
+
     def table_stats(self, snapshot_id: int | None = None) -> dict:
         """Operational layout summary from METADATA ONLY (manifests + log —
         zero data scanned; Iceberg's ``files``/``snapshots`` metadata-table

@@ -31,9 +31,14 @@ streaming read, the industry contract for incremental table consumption:
 Scale shape: ``latestOffset`` is one metadata read of the log;
 ``partitions`` reads only the manifests of buckets the commit touched;
 each data file is one partition so read parallelism tracks commit width.
-``maxSnapshotsPerTrigger`` bounds a microbatch (admission control) so a
-stream starting from ``earliest`` on a long history catches up in bounded
-batches instead of one giant one.
+``maxSnapshotsPerTrigger`` bounds a microbatch (admission control) for
+continuous (default / processing-time) triggers, taking effect from the
+second planned batch. It never caps the FIRST ``latestOffset`` answer
+after reader construction: under ``Trigger.AvailableNow`` Spark pins the
+whole run's end offset at that answer, so capping it would silently
+truncate the run short of the log head (a restarted availableNow tail
+would stop ``maxSnapshots`` past its checkpoint) — an availableNow run
+therefore drains the full backlog regardless of the cap.
 
 Retention interaction: a stream lagging behind ``expire_snapshots``
 (which prunes old log versions) fails with an explicit error naming the
@@ -67,7 +72,7 @@ from ..lake.table import _META_COLS, META_DELETED, LakeTable
 _ROW_PRESERVING = {"create", "compact"}
 # operations that change or remove existing rows — append-only semantics
 # cannot represent them; fail (default) or skip per onDataChange
-_ROW_CHANGING = {"overwrite", "update", "delete", "merge"}
+_ROW_CHANGING = {"overwrite", "update", "delete", "merge", "rollback"}
 
 
 def _local_path(raw: str) -> str:
@@ -198,9 +203,17 @@ class LakeStreamReader(DataSourceStreamReader):
         self._max_snaps = int(mx) if mx else None
         # admission-control anchor: end offset of the last planned batch.
         # None until partitions() first runs (e.g. right after a restart,
-        # where the true start lives in the checkpoint) — the first
-        # latestOffset is then uncapped, and every later one is bounded.
+        # where the true start lives in the checkpoint).
         self._last_end: int | None = None
+        # The FIRST latestOffset call after construction must report the
+        # TRUE latest, never the admission-capped one: under
+        # Trigger.AvailableNow, Spark's wrapper pins the whole run's end
+        # offset at that first answer — a capped first answer silently
+        # truncates the run (observed: a restarted availableNow tail
+        # stopped maxSnapshots past the checkpoint and never reached the
+        # log head, because recovery re-plans the last batch's partitions
+        # BEFORE asking for the new latest, arming _last_end).
+        self._first_latest = True
         # "latest" is pinned NOW, at stream creation — initialOffset() is
         # only invoked at first-batch planning, by which time concurrent
         # commits may have advanced the log, and re-reading it there would
@@ -221,7 +234,9 @@ class LakeStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         latest = self._table().snapshot_id
-        if self._max_snaps is not None and self._last_end is not None:
+        if self._first_latest:
+            self._first_latest = False
+        elif self._max_snaps is not None and self._last_end is not None:
             latest = min(latest, self._last_end + self._max_snaps)
         return {"snapshot_id": latest}
 

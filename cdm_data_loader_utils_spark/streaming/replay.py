@@ -18,6 +18,11 @@ Two drivers share that body:
   an event directory with ``Trigger.AvailableNow``, ``foreachBatch`` invoking
   the same body. Exactly-once = streaming checkpoint (at-least-once delivery)
   + commit fencing in the lake snapshot log (dedup of replayed batches).
+
+A third driver, :func:`tail_lake_events`, is :func:`stream_events` with the
+inbox itself a lake table: the source is ``format("lake")`` over the inbox's
+snapshot log, so both hops (producer → inbox, inbox → merged table) are
+exactly-once.
 """
 
 from __future__ import annotations
@@ -301,6 +306,15 @@ def stream_events(
         stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", os.path.join(checkpoint_dir, run_id))
     )
+    return _run_stream(writer, trigger, timeout_sec)
+
+
+def _run_stream(writer, trigger: str | None, timeout_sec: float | None):
+    """Shared trigger/timeout contract of the streaming drivers: default
+    ``Trigger.AvailableNow`` (replay-to-current then stop), ``trigger=`` a
+    processing-time interval for a live tail; ``timeout_sec`` stops +
+    checkpoints cleanly in BOTH modes (the next run resumes), and a live
+    tail with no timeout returns the running query."""
     if trigger is None:
         q = writer.trigger(availableNow=True).start()
         if timeout_sec is None:
@@ -321,3 +335,52 @@ def stream_events(
         q.stop()
         q.awaitTermination()
     return None
+
+
+def tail_lake_events(
+    spark: SparkSession,
+    source: LakeTable | str,
+    table: LakeTable,
+    audit: AuditStore | None,
+    run_id: str,
+    checkpoint_dir: str,
+    max_snapshots_per_trigger: int = 4,
+    salt_buckets: int = 32,
+    trigger: str | None = None,
+    timeout_sec: float | None = None,
+):
+    """The WAL-tail made literal: the change-event inbox is itself a LAKE
+    TABLE whose append commits are the log — tail it with the engine's own
+    ``format("lake")`` streaming source and apply each micro-batch through
+    the same exactly-once body as :func:`stream_events`. Upstream
+    producers land change events with fenced :meth:`LakeTable.append`
+    (atomic, idempotent, schema-evolving); downstream this tail resumes
+    from its streaming checkpoint at a snapshot-id offset, so the
+    end-to-end pipeline is exactly-once on BOTH hops. This is the shape a
+    binlog/WAL bridge takes on the lake: producers never coordinate with
+    consumers, the snapshot log is the ordering, and
+    ``max_snapshots_per_trigger`` is the admission control for catch-up.
+
+    Inbox contract: append-only (a compaction of the inbox is invisible;
+    any row-changing commit fails the tail loudly — the inbox is a log,
+    not a table to merge into). Same trigger/timeout semantics as
+    :func:`stream_events`.
+    """
+    from .lake_source import register_lake_source
+
+    register_lake_source(spark)
+    src_path = source.path if isinstance(source, LakeTable) else source
+    stream = (
+        spark.readStream.format("lake")
+        .option("maxSnapshotsPerTrigger", max_snapshots_per_trigger)
+        .load(src_path)
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch(batch_df, table, audit, run_id, int(batch_id), salt_buckets)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, run_id))
+    )
+    return _run_stream(writer, trigger, timeout_sec)

@@ -118,3 +118,22 @@ def test_cli_refresh_views(spark, warehouse, capsys):
 def test_cli_unknown_command_exits(capsys):
     with pytest.raises(SystemExit):
         main(["no-such-command"])
+
+
+def test_cli_rollback_by_tag_and_arg_validation(spark, warehouse, capsys):
+    path = os.path.join(warehouse, "t")
+    t = LakeTable.create(spark, path, SCHEMA, bucket_by="k", bucket_count=2)
+    t.append(_df(spark, [("a", 1), ("b", 2)]))
+    t.tag("rel")
+    t.overwrite(_df(spark, [("c", 3)]))
+
+    main(["rollback", "--table", path, "--tag", "rel"])
+    assert "rolled back" in capsys.readouterr().out
+    assert {(r.k, r.v) for r in LakeTable.load(spark, path).read().collect()} \
+        == {("a", 1), ("b", 2)}
+
+    with pytest.raises(SystemExit):
+        main(["rollback", "--table", path])  # neither target given
+    with pytest.raises(SystemExit):
+        main(["rollback", "--table", path, "--snapshot-id", "1",
+              "--tag", "rel"])  # both given

@@ -295,3 +295,59 @@ def test_remote_uri_rejected_loudly():
     )
     with pytest.raises(ValueError, match="local paths only"):
         LakeStreamReader(SCHEMA, {"path": "s3a://bucket/t"})
+
+
+def test_stream_sees_rollback_as_row_changing(spark, warehouse):
+    """A rollback restores removed rows — append-only streams cannot
+    express it: fail loudly by default, invisible with onDataChange=skip
+    (same contract as merge/delete)."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(10)))
+    good = t.snapshot_id
+    t.append(_df(spark, _rows(5, base=100)))
+    t.rollback_to(good)
+
+    from cdm_data_loader_utils_spark.streaming.lake_source import (
+        LakeStreamReader,
+    )
+    r = LakeStreamReader(SCHEMA, {"path": t.path})
+    with pytest.raises(RuntimeError, match="rollback"):
+        r.partitions({"snapshot_id": good}, {"snapshot_id": t.snapshot_id})
+    # skip mode: the rollback commit itself is invisible — the range's
+    # only streamed rows are the intervening append's 5
+    r2 = LakeStreamReader(SCHEMA, {"path": t.path, "onDataChange": "skip"})
+    parts = r2.partitions({"snapshot_id": good},
+                          {"snapshot_id": t.snapshot_id})
+    assert sum(p.rows for p in parts) == 5
+
+
+def test_availablenow_restart_with_admission_cap_drains_to_head(spark, warehouse, tmp_path):
+    """Regression: a restarted AvailableNow run must drain to the log HEAD
+    even with maxSnapshotsPerTrigger set. Spark pins the run's end at the
+    reader's first latestOffset answer; a capped first answer silently
+    stopped the run maxSnapshots past the checkpoint."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(10)))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lake")
+            .option("maxSnapshotsPerTrigger", "1").load(t.path)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 10
+    for b in (100, 200, 300, 400):  # 4 commits > the 1-snapshot cap
+        t.append(_df(spark, _rows(5, base=b)))
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 30  # head reached: all 4 post-restart commits
+    assert got.select("k").distinct().count() == 30

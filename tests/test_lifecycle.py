@@ -712,3 +712,82 @@ def test_replicator_warns_when_state_prune_fails(spark, warehouse):
         r = rep.sync()
     assert r["events"] == 1, "sync itself must still succeed"
     assert any("failed to prune state" in str(x.message) for x in w)
+
+
+# --------------------------------------------------------------- rollback
+def test_rollback_restores_data_schema_and_layout(spark, warehouse):
+    """rollback_to is a metadata-only RESTORE: data, schema, and bucket
+    layout revert to the target; history is preserved (roll forward by
+    rolling back to a pre-rollback id)."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=4)
+    t.append(_df(spark, [(f"k{i}", i) for i in range(10)]))
+    good = t.snapshot_id
+    files_at_good = {f.path for f in t.files()}
+    # later history: schema evolution + re-bucket + a delete
+    widened = T.StructType(SCHEMA.fields + [T.StructField("w", T.DoubleType())])
+    t.append(_df(spark, [("x1", 100, 1.5)], widened))
+    t.compact(new_bucket_count=8)
+    t.delete(F.col("v") < 5)
+    assert t.read().count() == 6
+
+    sid = t.rollback_to(good)
+    assert sid == t.snapshot_id and sid > good  # NEW commit, not a rewind
+    snap = t.snapshot()
+    assert snap["operation"] == "rollback"
+    assert snap["summary"]["rollback_of"] == good
+    assert snap["bucket_count"] == 4  # layout restored across the re-bucket
+    assert [f.name for f in t.user_schema.fields] == ["k", "v"]  # schema too
+    assert {f.path for f in t.files()} == files_at_good  # zero data rewritten
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(f"k{i}", i) for i in range(10)}
+    # merge into the rolled-back layout stays bucket-sound
+    upd = _df(spark, [("k3", 999, 10, "u")], T.StructType(SCHEMA.fields + [
+        T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType()),
+    ]))
+    t.merge_cdc(upd, key_cols=["k"], lsn_col="lsn", op_col="op")
+    assert {r.v for r in t.read().filter(F.col("k") == "k3").collect()} == {999}
+
+    # roll FORWARD: the pre-rollback state is itself addressable
+    t.rollback_to(sid - 1)
+    assert t.read().count() == 6 and t.snapshot()["bucket_count"] == 8
+
+
+def test_rollback_by_tag_noop_and_expire_pinning(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, [("a", 1), ("b", 2)]))
+    t.tag("rel")
+    t.overwrite(_df(spark, [("c", 3)]))
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        same = t.rollback_to(t.snapshot_id)
+    assert same == t.snapshot_id
+    assert any("already current" in str(x.message) for x in w)
+
+    sid = t.rollback_to(tag="rel")
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", 1), ("b", 2)}
+    # the rollback snapshot retention-pins the restored files on its own:
+    # expire everything but the latest (drops the tag too) and re-read
+    t.drop_tag("rel")
+    t.expire_snapshots(keep_last=1, grace_seconds=0.0)
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", 1), ("b", 2)}
+    assert t.snapshot_id == sid
+
+
+def test_rollback_keeps_fences_so_replayed_batches_stay_deduped(spark, warehouse):
+    """Fence history survives a rollback: a batch applied BEFORE the target
+    does not double-apply when re-delivered after the restore — re-ingest
+    needs a new run_id (documented contract)."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, [("a", 1)]), fence_key="run1:0")
+    base = t.snapshot_id
+    applied_at = t.append(_df(spark, [("b", 2)]), fence_key="run1:1")
+    t.rollback_to(base)
+    sid_after = t.snapshot_id
+    # fenced: returns where the batch ORIGINALLY applied, commits nothing
+    assert t.append(_df(spark, [("b", 2)]), fence_key="run1:1") == applied_at
+    assert t.snapshot_id == sid_after
+    assert t.read().count() == 1

@@ -333,3 +333,45 @@ def test_maintenance_racing_live_replay_converges(spark, warehouse):
     table.compact_buckets()
     table.expire_snapshots(keep_last=1, grace_seconds=0)
     _check_final(table, events)
+
+
+def test_tail_lake_events_inbox_table_end_to_end(spark, warehouse):
+    """The two-hop WAL tail: producers append change events to a lake INBOX
+    table; tail_lake_events streams the inbox's snapshot log through
+    format("lake") and merges each micro-batch exactly-once. A second wave
+    appended later resumes from the same streaming checkpoint — only the
+    new commits are read, and double delivery is fenced on the merge hop."""
+    from cdm_data_loader_utils_spark.streaming.replay import tail_lake_events
+
+    events = _events(spark)
+    batch_ids = sorted(
+        r.batch_id for r in events.select("batch_id").distinct().collect()
+    )
+    first_ids, rest_ids = batch_ids[:2], batch_ids[2:]
+    first = events.filter(F.col("batch_id").isin(first_ids))
+    inbox = LakeTable.create(
+        spark, os.path.join(warehouse, "inbox"), first.drop("batch_id").schema,
+        bucket_by="conv_id", bucket_count=4,
+    )
+    for b in first_ids:
+        inbox.append(events.filter(F.col("batch_id") == b).drop("batch_id"),
+                     fence_key=f"prod:{b}")
+    inbox.compact()  # inbox maintenance must be invisible to the tail
+
+    table = _mk_table(spark, warehouse)
+    audit = AuditStore(spark, os.path.join(warehouse, "audit"))
+    ckpt = os.path.join(warehouse, "ckpt")
+    tail_lake_events(spark, inbox, table, audit, "run-tail", ckpt,
+                     max_snapshots_per_trigger=1)
+    exp_first = expected_final_state(first)
+    got = table.read()
+    assert got.count() == exp_first.count()
+    assert got.exceptAll(exp_first.select(*got.columns)).count() == 0
+
+    # second wave: resume from the checkpoint, apply ONLY the new commits
+    for b in rest_ids:
+        inbox.append(events.filter(F.col("batch_id") == b).drop("batch_id"),
+                     fence_key=f"prod:{b}")
+    tail_lake_events(spark, inbox, table, audit, "run-tail", ckpt,
+                     max_snapshots_per_trigger=1)
+    _check_final(table, events)
