@@ -151,7 +151,14 @@ class Catalog:
             # could record a NEWER id than the text and make refresh_views
             # skip a genuinely stale view forever.
             sid = t.snapshot_id
-            out[name] = t.to_view(name)
+            # re-registration must not silently disarm a read-time
+            # staleness guard a previous to_view(assert_current=True)
+            # armed — same preservation rule as refresh_views
+            props = self._view_props(name)
+            out[name] = t.to_view(
+                name,
+                assert_current=(props or {}).get("lake.assert_current") == "true",
+            )
             pins[name] = (path, sid)
         return out
 

@@ -2436,6 +2436,14 @@ class LakeTable:
         row-changing and fails loudly (``onDataChange=skip`` to ignore)."""
         import warnings
 
+        if snapshot_id is None and tag is None and as_of_timestamp_ms is None:
+            # snapshot(None, None, None) would resolve to the CURRENT
+            # snapshot and no-op — a forgotten argument must not read as a
+            # successful restore
+            raise ValueError(
+                "rollback_to: pass a target — snapshot_id, tag, or "
+                "as_of_timestamp_ms"
+            )
         target = self.snapshot(snapshot_id, as_of_timestamp_ms, tag)
         target_id = int(target["snapshot_id"])
 

@@ -29,18 +29,18 @@ from __future__ import annotations
 
 import json
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .similarity import (
-    _hyperplane,
     _probe_masks,
     cosine,
     ivf_assign_df,
     ivf_centroids_by_id,
     lsh_bucket,
+    lsh_query_bucket,
+    round6_half_up,
 )
 
 _META_NAME = "_ann_index_meta.json"
@@ -87,15 +87,6 @@ def write_lsh_index(
     return meta
 
 
-def _query_bucket(query: list[float], num_planes: int, seed: int) -> int:
-    qb = 0
-    for p in range(num_planes):
-        plane = _hyperplane(len(query), p, seed)
-        s = sum(q * w for q, w in zip(query, plane))
-        qb = qb * 2 + (1 if s > 0 else 0)
-    return qb
-
-
 def query_lsh_index(
     spark: SparkSession,
     path: str,
@@ -115,7 +106,7 @@ def query_lsh_index(
         raise ValueError(
             f"query dim {len(query)} != index dim {meta['dim']}"
         )
-    qb = _query_bucket(query, meta["num_planes"], meta["seed"])
+    qb = lsh_query_bucket(query, meta["num_planes"], meta["seed"])
     probes = sorted(
         {qb ^ m for m in _probe_masks(meta["num_planes"], multiprobe)}
     )
@@ -185,10 +176,14 @@ def query_ivf_index(
         )
 
     def cos(a: list[float], b: list[float]) -> float:
+        # round6_half_up, NOT builtin round (HALF_EVEN): the cell pick must
+        # agree bit-for-bit with ivf_topk's F.round(..., 6) plan column, or
+        # the persisted index would probe different cells than the
+        # in-memory operator at identical settings
         d = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
-        return round(d / (na * nb), 6) if na and nb else -2.0
+        return round6_half_up(d / (na * nb)) if na and nb else -2.0
 
     scored = sorted(
         ((cos(cv, query), -cid) for cid, cv in meta["codebook"]),
@@ -211,14 +206,13 @@ def query_ivf_index(
 
 def index_partitions(spark: SparkSession, path: str) -> list[str]:
     """Partition directories present in an index — observability helper
-    (how full is the bucket space; which cells are hot)."""
+    (how full is the bucket space; which cells are hot). Listed through
+    the shared fs layer, so local paths, ``file://``, ``hdfs://`` and
+    ``s3a://`` all work."""
+    from ..lake.fs import filesystem_for
+
+    fs = filesystem_for(spark, path)
     return sorted(
-        n for n in os.listdir(path)
+        n for n in fs.list_names(path)
         if "=" in n and not n.startswith(("_", "."))
-    ) if not path.startswith(("s3a://", "hdfs://")) else [
-        f.getPath().getName()
-        for f in spark._jvm.org.apache.hadoop.fs.FileSystem.get(
-            spark._jsc.hadoopConfiguration()
-        ).listStatus(spark._jvm.org.apache.hadoop.fs.Path(path))
-        if "=" in f.getPath().getName()
-    ]
+    )

@@ -213,17 +213,7 @@ def cosine_pairs_blocked(
     )
     id_np_dtype = np.int64 if integral_ids else object
 
-    def _round6(x: float) -> float:
-        # Spark's Round(double, 6) = HALF_UP on the shortest decimal repr
-        # (scala BigDecimal.decimal); Python's builtin round is HALF_EVEN —
-        # mirror the JVM exactly via Decimal on repr()
-        import decimal
-
-        return float(
-            decimal.Decimal(repr(x)).quantize(
-                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
-            )
-        )
+    _round6 = round6_half_up
 
     # candidate guard band on the UNROUNDED matmul score: it must cover the
     # full 6dp rounding quantum (1e-6) — a pair whose exact HALF_UP-rounded
@@ -299,6 +289,21 @@ def cosine_pairs_blocked(
     return track(chunk_pairs.mapInPandas(_matmul, out_schema), packed)
 
 
+def round6_half_up(x: float) -> float:
+    """Spark's ``Round(double, 6)`` = HALF_UP on the shortest decimal repr
+    (scala BigDecimal.decimal); Python's builtin ``round`` is HALF_EVEN —
+    mirror the JVM exactly via Decimal on ``repr()``. Every driver-side
+    score that must agree with an ``F.round(..., 6)`` plan column (IVF cell
+    picks, blocked-matmul rescoring) goes through this."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane: component j is a
     sha256-derived value in [-1, 1). Pure Python at plan time (tiny:
@@ -335,6 +340,20 @@ def lsh_bucket(
     return df.withColumn("bucket", bucket)
 
 
+def lsh_query_bucket(query: list[float], num_planes: int, seed: int) -> int:
+    """The driver-side twin of :func:`lsh_bucket` for a single query vector
+    — same hyperplanes, same sign rule, same bit order. Every probe
+    computation (in-memory ANN and the persisted index) MUST go through
+    this one fold: a divergent copy would silently probe the wrong
+    buckets."""
+    qb = 0
+    for p in range(num_planes):
+        plane = _hyperplane(len(query), p, seed)
+        s = sum(q * w for q, w in zip(query, plane))
+        qb = qb * 2 + (1 if s > 0 else 0)
+    return qb
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query: list[float],
@@ -358,11 +377,7 @@ def ann_topk_lsh(
     partition-pruned scan of 1 + Σ C(planes, i) partitions."""
     dim = len(query)
     bucketed = lsh_bucket(df, dim, num_planes, seed, vec_col)
-    qb = 0
-    for p in range(num_planes):
-        plane = _hyperplane(dim, p, seed)
-        s = sum(q * w for q, w in zip(query, plane))
-        qb = qb * 2 + (1 if s > 0 else 0)
+    qb = lsh_query_bucket(query, num_planes, seed)
     probes = {qb}
     frontier = {qb}
     for _ in range(max(0, multiprobe)):
@@ -503,7 +518,12 @@ def cosine_topk_batch(
     top-k). Returns (qid, vec_id, score, rank)."""
     from pyspark.sql.window import Window
 
-    scored = df.crossJoin(F.broadcast(queries)).select(
+    # narrow to the two query columns: queries are naturally derived from
+    # the corpus, and stray vec_id/embedding columns would make the
+    # post-join references ambiguous
+    scored = df.crossJoin(
+        F.broadcast(queries.select(qid_col, qvec_col))
+    ).select(
         F.col(qid_col),
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("score"),
@@ -603,6 +623,9 @@ def ivf_topk_batch(
     from pyspark.sql.window import Window
 
     cents = ivf_centroids_by_id(df, n_centroids, vec_col, id_col)
+    # narrow to the query columns (same ambiguity defense as the other
+    # batch forms — queries often carry leftover corpus columns)
+    queries = queries.select(qid_col, qvec_col)
     qs = queries.crossJoin(F.broadcast(cents)).select(
         F.col(qid_col), F.col(qvec_col), F.col("cid"),
         F.round(cosine(F.col(qvec_col), F.col("cv")), 6).alias("__s"),

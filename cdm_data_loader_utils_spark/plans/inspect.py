@@ -95,10 +95,22 @@ def plan_report(df: DataFrame) -> dict:
 
 def partition_filters(df: DataFrame) -> list[str]:
     """Partition-column filters applied at LISTING time (partition pruning
-    proof — directories outside the filter are never listed or scanned)."""
+    proof — directories outside the filter are never listed or scanned).
+    One list element per filter: split on TOP-LEVEL commas only, so an
+    IN-list like ``bucket#12 IN (3,5,9)`` stays one filter instead of
+    fragmenting."""
     out: list[str] = []
     for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", physical_plan(df)):
         body = m.group(1).strip()
-        if body:
-            out.extend(s.strip() for s in body.split(","))
+        depth, start = 0, 0
+        for i, ch in enumerate(body + ","):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                part = body[start:i].strip()
+                if part:
+                    out.append(part)
+                start = i + 1
     return out

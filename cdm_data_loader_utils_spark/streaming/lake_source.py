@@ -38,7 +38,11 @@ after reader construction: under ``Trigger.AvailableNow`` Spark pins the
 whole run's end offset at that answer, so capping it would silently
 truncate the run short of the log head (a restarted availableNow tail
 would stop ``maxSnapshots`` past its checkpoint) — an availableNow run
-therefore drains the full backlog regardless of the cap.
+therefore drains the full backlog regardless of the cap. For continuous
+triggers that need the FIRST batch bounded too (deep-backlog catch-up
+after a restart), opt in with ``capInitialBatch=true`` — incompatible
+with availableNow by construction (it re-creates exactly the truncation
+described above, which can be used deliberately as a bounded drain step).
 
 Retention interaction: a stream lagging behind ``expire_snapshots``
 (which prunes old log versions) fails with an explicit error naming the
@@ -214,12 +218,33 @@ class LakeStreamReader(DataSourceStreamReader):
         # log head, because recovery re-plans the last batch's partitions
         # BEFORE asking for the new latest, arming _last_end).
         self._first_latest = True
+        # capInitialBatch=true opts the first batch INTO the cap — for
+        # continuous (default / processing-time) triggers where a restart
+        # against a deep backlog would otherwise plan one unbounded
+        # catch-up batch. Do NOT combine with Trigger.AvailableNow unless
+        # you want exactly that truncation as a bounded drain step (the
+        # run stops maxSnapshots past the checkpoint; the next run
+        # resumes there).
+        self._cap_initial = (
+            (_opt(options, "capInitialBatch", "false") or "false").lower()
+            == "true"
+        )
         # "latest" is pinned NOW, at stream creation — initialOffset() is
         # only invoked at first-batch planning, by which time concurrent
         # commits may have advanced the log, and re-reading it there would
         # silently drop every commit in between (observed in testing)
         if self._starting == "latest":
             self._starting = str(self._table().snapshot_id + 1)
+        if self._cap_initial:
+            # arm the anchor NOW: Spark may poll latestOffset before ever
+            # calling initialOffset, and an unarmed anchor means an
+            # uncapped first batch — the exact thing this option disables.
+            # On a restart the true start lives in the checkpoint; the
+            # recovery partitions() call re-arms the anchor there, and an
+            # interim too-low answer just means one empty poll.
+            self._last_end = (
+                0 if self._starting == "earliest" else int(self._starting) - 1
+            )
 
     def _table(self) -> LakeTable:
         return _meta_table(self._path)
@@ -230,11 +255,15 @@ class LakeStreamReader(DataSourceStreamReader):
         else:
             # inclusive: the named snapshot is the first one emitted
             sid = int(self._starting) - 1
+        if self._cap_initial:
+            # arm the admission anchor so a FRESH stream's first batch is
+            # bounded too (restarts are armed by recovery partitions())
+            self._last_end = sid
         return {"snapshot_id": sid}
 
     def latestOffset(self) -> dict:
         latest = self._table().snapshot_id
-        if self._first_latest:
+        if self._first_latest and not self._cap_initial:
             self._first_latest = False
         elif self._max_snaps is not None and self._last_end is not None:
             latest = min(latest, self._last_end + self._max_snaps)

@@ -351,3 +351,34 @@ def test_availablenow_restart_with_admission_cap_drains_to_head(spark, warehouse
     got = spark.read.parquet(out)
     assert got.count() == 30  # head reached: all 4 post-restart commits
     assert got.select("k").distinct().count() == 30
+
+
+def test_cap_initial_batch_bounds_continuous_catchup(spark, warehouse, tmp_path):
+    """capInitialBatch=true: a continuous-trigger stream starting against a
+    backlog plans its FIRST batch admission-capped instead of unbounded."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    for b in (0, 100, 200):
+        t.append(_df(spark, _rows(5, base=b)))
+
+    q = (
+        spark.readStream.format("lake")
+        .option("maxSnapshotsPerTrigger", "1")
+        .option("capInitialBatch", "true")
+        .load(t.path)
+        .writeStream.format("memory").queryName("lk_cap")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _wait(q, lambda: spark.table("lk_cap").count() == 15)
+        # progress entries flush asynchronously — poll for them
+        _wait(q, lambda: len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3,
+            timeout=30)
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        # one snapshot per batch: the 3 backlog commits cannot share one
+        assert len(batches) >= 3, [p["numInputRows"] for p in batches]
+        assert max(p["numInputRows"] for p in batches) == 5  # capped batches
+    finally:
+        q.stop()

@@ -1318,3 +1318,20 @@ def test_catalog_refresh_preserves_assert_current_guard(spark, warehouse):
     another.append(_df(spark, _rows(1, base_day=12)))
     with pytest.raises(Exception, match="newer commits"):
         spark.sql("SELECT count(*) AS n FROM gp.t").collect()
+
+
+def test_register_views_preserves_assert_current_guard(spark, warehouse):
+    """Bulk re-registration (register_views) must not silently disarm the
+    read-time staleness guard a view opted into — same preservation rule
+    refresh_views follows."""
+    cat = Catalog(spark, warehouse)
+    t = cat.create_table("gp2.t", SCHEMA, bucket_by="k", bucket_count=2)
+    t.append(_df(spark, _rows(4)))
+    t.to_view("gp2.t", assert_current=True)
+
+    cat2 = Catalog(spark, warehouse)  # fresh handle, e.g. a cron process
+    cat2.register_views()
+    other = LakeTable.load(spark, cat2.resolve("gp2.t"))
+    other.append(_df(spark, _rows(2, base_day=9)))
+    with pytest.raises(Exception, match="newer commits"):
+        spark.sql("SELECT count(*) AS n FROM gp2.t").collect()

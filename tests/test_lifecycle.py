@@ -791,3 +791,10 @@ def test_rollback_keeps_fences_so_replayed_batches_stay_deduped(spark, warehouse
     assert t.append(_df(spark, [("b", 2)]), fence_key="run1:1") == applied_at
     assert t.snapshot_id == sid_after
     assert t.read().count() == 1
+
+
+def test_rollback_requires_a_target(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA)
+    t.append(_df(spark, [("a", 1)]))
+    with pytest.raises(ValueError, match="pass a target"):
+        t.rollback_to()

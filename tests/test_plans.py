@@ -134,3 +134,18 @@ def test_operator_cache_release_drops_storage(spark):
     assert n >= 1
     after = len(jsc.getRDDStorageInfo())
     assert after < before, (before, after)
+
+
+def test_partition_filters_keeps_in_lists_whole(spark, tmp_path):
+    """An IN-list partition filter must come back as ONE filter, not
+    comma-fragmented pieces."""
+    from cdm_data_loader_utils_spark.plans.inspect import partition_filters
+
+    df = spark.range(20).withColumn("bucket", F.col("id") % 5)
+    path = str(tmp_path / "p")
+    df.write.partitionBy("bucket").parquet(path)
+    got = spark.read.parquet(path).filter(F.col("bucket").isin(1, 3, 4))
+    pf = partition_filters(got)
+    in_filters = [f for f in pf if " IN " in f]
+    assert len(in_filters) == 1, pf
+    assert "(1,3,4)" in in_filters[0].replace(" ", ""), pf
