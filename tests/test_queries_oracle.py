@@ -60,3 +60,19 @@ def test_query_matches_oracle(spark, con, name):
     )
     assert len(got) == len(exp)
     assert got == exp
+
+
+def test_latest_two_events_matches_oracle_off_gate(spark, con):
+    """q_latest_two_events was rotated OFF the 50-slot driver gate in favor
+    of lake_stream_ingest (O1's plan shape stays gated via cosine_topk);
+    this keeps its oracle equality checked in pytest."""
+    sdf = Q.q_latest_two_events(spark, SF)
+    cols = sorted(sdf.columns)
+    got = sorted(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+    od = con.execute(Q._LATEST2_ORACLE).fetchdf()
+    assert sorted(od.columns) == cols
+    exp = sorted(
+        tuple(_canon(v) for v in row)
+        for row in od[cols].itertuples(index=False, name=None)
+    )
+    assert got == exp and len(got) == 2
