@@ -44,7 +44,7 @@ import json
 import posixpath
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1579,22 +1579,84 @@ class LakeTable:
 
     def append(self, df: DataFrame, summary: dict | None = None,
                fence_key: str | None = None) -> int:
-        return self._retry_commit(lambda: self._append_once(df, summary, fence_key))
+        """Append with CHEAP commit retries (Iceberg's append-retry
+        property): the data files are written once; a loser of the
+        optimistic commit race re-reads the new snapshot and retries
+        METADATA-ONLY — re-homing the written files' schema in the new
+        schema map and re-merging manifests — instead of rewriting data.
+        This shrinks the conflict window from the full write duration to
+        milliseconds, so concurrent appenders converge instead of
+        exhausting retries under contention. The one case that forces a
+        re-write: a concurrent re-bucket (the written files' bucket labels
+        are stale for the new layout)."""
+        written: dict = {}
+        return self._retry_commit(
+            lambda: self._append_once(df, summary, fence_key, written))
 
     def _append_once(self, df: DataFrame, summary: dict | None = None,
-                     fence_key: str | None = None) -> int:
+                     fence_key: str | None = None,
+                     written: dict | None = None) -> int:
         snap = self.snapshot()
         fenced = self._fence_hit(snap, fence_key)
         if fenced is not None:
             return fenced
-        aligned, schemas, sid = self._prepare_write(df, snap)
-        new_files = self._write_files(aligned, snap, sid)
-        manifests = self._replace_entries(snap, set(), new_files)
+        if written is None:
+            written = {}
+        if written and (
+            snap.get("bucket_by") != written["bucket_by"]
+            or snap.get("bucket_count") != written["bucket_count"]
+        ):
+            # concurrent re-bucket: the written files carry the OLD
+            # layout's bucket labels — manifest keys would be unsound
+            written.clear()
+        if not written:
+            aligned, schemas, sid = self._prepare_write(df, snap)
+            files = self._write_files(aligned, snap, sid)
+            written.update(
+                files=files,
+                schema_json=schemas[str(sid)],
+                bucket_by=snap.get("bucket_by"),
+                bucket_count=snap.get("bucket_count"),
+            )
+            schemas_out: dict = schemas
+            cur_id = sid
+        else:
+            # metadata-only retry against the NEW base: reuse the data
+            # files; make sure the schema they were written with exists in
+            # the new schema map (the winner may have assigned our old id
+            # to a different schema), and recompute the CURRENT schema as
+            # the reconciliation of the winner's current with ours —
+            # regressing current to our write schema could drop a column
+            # the winner just added
+            schemas_out = dict(snap["schemas"])
+            sjson = written["schema_json"]
+
+            def _home(js: str) -> int:
+                hit = next(
+                    (int(k) for k, v in schemas_out.items() if v == js), None
+                )
+                if hit is None:
+                    hit = max(int(k) for k in schemas_out) + 1
+                    schemas_out[str(hit)] = js
+                return hit
+
+            wid = _home(sjson)
+            files = [
+                fe if fe.schema_id == wid else _dc_replace(fe, schema_id=wid)
+                for fe in written["files"]
+            ]
+            cur = _schema_from_json(schemas_out[str(snap["current_schema_id"])])
+            merged, changed = reconcile_schemas(cur, _schema_from_json(sjson))
+            cur_id = (
+                int(snap["current_schema_id"]) if not changed
+                else _home(_schema_json(merged))
+            )
+        manifests = self._replace_entries(snap, set(), files)
         nxt = self._next_snap(
             snap, "append", manifests, summary, fence_key,
-            schemas=schemas, current_schema_id=sid,
+            schemas=schemas_out, current_schema_id=cur_id,
         )
-        nxt["summary"].setdefault("rows_written", sum(fe.rows for fe in new_files))
+        nxt["summary"].setdefault("rows_written", sum(fe.rows for fe in files))
         return self._commit(nxt)
 
     def overwrite(self, df: DataFrame, summary: dict | None = None,

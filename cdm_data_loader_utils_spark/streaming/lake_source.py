@@ -98,6 +98,14 @@ def _meta_table(path: str) -> LakeTable:
     return LakeTable(None, _local_path(path), fs=LocalFilesystem())
 
 
+def _trace(msg: str) -> None:
+    import os as _os
+    tf = _os.environ.get("LAKE_SOURCE_TRACE")
+    if tf:
+        with open(tf, "a") as f:
+            f.write(f"pid={_os.getpid()} {msg}\n")
+
+
 def _opt(options: dict, name: str, default: str | None = None) -> str | None:
     # Python data source options arrive lower-cased from SQL conf paths but
     # verbatim from .option() calls — accept either spelling
@@ -250,6 +258,7 @@ class LakeStreamReader(DataSourceStreamReader):
         return _meta_table(self._path)
 
     def initialOffset(self) -> dict:
+        _trace("INITIAL")
         if self._starting == "earliest":
             sid = 0
         else:
@@ -263,14 +272,17 @@ class LakeStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         latest = self._table().snapshot_id
+        _trace(f"LATEST raw={latest} first={self._first_latest} last_end={self._last_end}")
         if self._first_latest and not self._cap_initial:
             self._first_latest = False
         elif self._max_snaps is not None and self._last_end is not None:
             latest = min(latest, self._last_end + self._max_snaps)
+        _trace(f"LATEST -> {latest}")
         return {"snapshot_id": latest}
 
     def partitions(self, start: dict, end: dict) -> list[LakeFilePartition]:
         lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        _trace(f"PARTS {lo}->{hi}")
         self._last_end = hi
         table = self._table()
         parts: list[LakeFilePartition] = []

@@ -365,22 +365,79 @@ def tail_lake_events(
     any row-changing commit fails the tail loudly — the inbox is a log,
     not a table to merge into). Same trigger/timeout semantics as
     :func:`stream_events`.
+
+    Drain guarantee: the default (AvailableNow, no timeout) call VERIFIES
+    against the checkpoint that the run actually reached the inbox head it
+    saw at start, restarting the query if not. Observed once-in-testing
+    Spark behavior this defends against: if the previous run's stream
+    thread died with a JVM *Error* (e.g. a StackOverflowError in Spark's
+    stop path while a merge was being cancelled), the NEXT AvailableNow
+    run can terminate after recovery without ever planning a new batch —
+    offsets stay where they were despite backlog. A clean restart then
+    drains normally; correctness was never at risk (fenced merges are
+    exactly-once regardless), only completion of THIS call.
     """
     from .lake_source import register_lake_source
 
     register_lake_source(spark)
     src_path = source.path if isinstance(source, LakeTable) else source
-    stream = (
-        spark.readStream.format("lake")
-        .option("maxSnapshotsPerTrigger", max_snapshots_per_trigger)
-        .load(src_path)
-    )
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        apply_batch(batch_df, table, audit, run_id, int(batch_id), salt_buckets)
+    def start_writer():
+        stream = (
+            spark.readStream.format("lake")
+            .option("maxSnapshotsPerTrigger", max_snapshots_per_trigger)
+            .load(src_path)
+        )
 
-    writer = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(checkpoint_dir, run_id))
-    )
-    return _run_stream(writer, trigger, timeout_sec)
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            apply_batch(batch_df, table, audit, run_id, int(batch_id),
+                        salt_buckets)
+
+        return (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(checkpoint_dir, run_id))
+        )
+
+    if trigger is not None or timeout_sec is not None:
+        # live tails and explicitly-bounded drains: partial progress is the
+        # documented contract; no head verification
+        return _run_stream(start_writer(), trigger, timeout_sec)
+
+    ckpt = os.path.join(checkpoint_dir, run_id)
+    if "://" in ckpt:
+        # head verification reads the offsets log with local file IO; on a
+        # remote checkpoint store run unverified (the quirk needs a prior
+        # JVM-error crash on the same checkpoint — rare; re-invoke to heal)
+        return _run_stream(start_writer(), None, None)
+    from .lake_source import _meta_table
+
+    head = _meta_table(src_path).snapshot_id
+    for attempt in range(3):
+        _run_stream(start_writer(), None, None)
+        reached = _last_planned_offset(ckpt)
+        if reached is not None and reached >= head:
+            return None
+        if attempt == 2:
+            raise RuntimeError(
+                f"tail_lake_events: drain stalled at snapshot {reached} "
+                f"of {head} after 3 AvailableNow runs on {src_path}"
+            )
+    return None
+
+
+def _last_planned_offset(ckpt: str) -> int | None:
+    """Highest snapshot id the streaming checkpoint has PLANNED (offsets
+    log; commits may lag by the in-flight batch). None before first plan."""
+    import json
+
+    odir = os.path.join(ckpt, "offsets")
+    try:
+        names = [n for n in os.listdir(odir) if not n.startswith(".")]
+    except FileNotFoundError:
+        return None
+    if not names:
+        return None
+    latest = max(names, key=int)
+    with open(os.path.join(odir, latest)) as f:
+        last_line = f.read().splitlines()[-1]
+    return int(json.loads(last_line)["snapshot_id"])

@@ -513,3 +513,84 @@ def test_stale_touched_buckets_hint_is_ignored_after_rebucket(spark, warehouse):
     assert ("k3", 999) in rows and len(rows) == 16
     dup = t.read().groupBy("k").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_append_conflict_retry_is_metadata_only(spark, warehouse, monkeypatch):
+    """A loser of the append commit race must NOT rewrite its data files:
+    the retry re-homes the written schema in the winner's schema map,
+    keeps the winner's evolution in the CURRENT schema, and commits
+    metadata-only (Iceberg's cheap-append-retry property)."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, [("a", 1)]))
+    other = LakeTable.load(spark, t.path)
+
+    widened = T.StructType(SCHEMA.fields + [T.StructField("w", T.DoubleType())])
+    writes = {"n": 0}
+    real_wf = t._write_files
+
+    def counting_wf(*a, **k):
+        writes["n"] += 1
+        return real_wf(*a, **k)
+
+    raced = {"done": False}
+    real_commit = t._commit
+
+    def racing_commit(snap):
+        if not raced["done"]:
+            raced["done"] = True
+            # the winner lands (and EVOLVES the schema) between our data
+            # write and our commit — a genuine version conflict
+            other.append(_df(spark, [("b", 2, 2.5)], widened))
+        return real_commit(snap)
+
+    monkeypatch.setattr(t, "_write_files", counting_wf)
+    monkeypatch.setattr(t, "_commit", racing_commit)
+    t.append(_df(spark, [("c", 3)]))
+
+    assert writes["n"] == 1, "conflict retry rewrote data files"
+    got = {(r.k, r.v) for r in t.read().select("k", "v").collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+    # the winner's added column survives as part of the CURRENT schema
+    assert [f.name for f in t.user_schema.fields] == ["k", "v", "w"]
+    assert t.read().filter(F.col("w").isNotNull()).count() == 1
+
+
+def test_append_conflict_with_concurrent_rebucket_rewrites(spark, warehouse, monkeypatch):
+    """The one conflict appends cannot retry metadata-only through: a
+    concurrent re-bucket invalidates the written files' bucket labels —
+    the retry must fall back to a full re-write against the new layout."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "t"), SCHEMA,
+                         bucket_by="k", bucket_count=2)
+    t.append(_df(spark, [(f"k{i}", i) for i in range(8)]))
+    other = LakeTable.load(spark, t.path)
+
+    writes = {"n": 0}
+    real_wf = t._write_files
+
+    def counting_wf(*a, **k):
+        writes["n"] += 1
+        return real_wf(*a, **k)
+
+    raced = {"done": False}
+    real_commit = t._commit
+
+    def racing_commit(snap):
+        if not raced["done"]:
+            raced["done"] = True
+            other.compact(new_bucket_count=8)
+        return real_commit(snap)
+
+    monkeypatch.setattr(t, "_write_files", counting_wf)
+    monkeypatch.setattr(t, "_commit", racing_commit)
+    t.append(_df(spark, [("x", 100)]))
+
+    assert writes["n"] == 2, "re-bucket conflict must force a data re-write"
+    assert t.snapshot()["bucket_count"] == 8
+    assert t.read().count() == 9
+    # bucket-pruned merge still sound on the new layout
+    src = T.StructType(SCHEMA.fields + [
+        T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType()),
+    ])
+    t.merge_cdc(spark.createDataFrame([("x", 999, "u", 10)], src), key_cols=["k"])
+    assert {r.v for r in t.read().filter(F.col("k") == "x").collect()} == {999}

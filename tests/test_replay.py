@@ -375,3 +375,59 @@ def test_tail_lake_events_inbox_table_end_to_end(spark, warehouse):
     tail_lake_events(spark, inbox, table, audit, "run-tail", ckpt,
                      max_snapshots_per_trigger=1)
     _check_final(table, events)
+
+
+def test_tail_lake_events_with_racing_producers(spark, warehouse):
+    """Two-hop soak: two producer threads race fenced appends into the
+    SAME inbox table while a live (processing-time) tail_lake_events
+    merges downstream. Producer commits resolve through optimistic retry,
+    the tail sees each inbox snapshot exactly once, and after a final
+    drain the merged table equals the oracle fold of everything both
+    producers shipped."""
+    import threading
+
+    from cdm_data_loader_utils_spark.streaming.replay import tail_lake_events
+
+    events = _events(spark, n_events=8000, batch_size=500)  # 16 batches
+    bids = sorted(
+        r.batch_id for r in events.select("batch_id").distinct().collect()
+    )
+    inbox = LakeTable.create(
+        spark, os.path.join(warehouse, "inbox"), events.drop("batch_id").schema,
+        bucket_by="conv_id", bucket_count=4,
+    )
+    table = _mk_table(spark, warehouse)
+    ckpt = os.path.join(warehouse, "ckpt")
+
+    prod_errs: list[BaseException] = []
+
+    def producer(my_bids):
+        try:
+            handle = LakeTable.load(spark, inbox.path)  # own handle = own process stand-in
+            for b in my_bids:
+                handle.append(
+                    events.filter(F.col("batch_id") == b).drop("batch_id"),
+                    fence_key=f"prod:{b}",
+                )
+        except BaseException as e:  # noqa: BLE001 — re-raised by the test
+            prod_errs.append(e)
+
+    threads = [
+        threading.Thread(target=producer, args=(bids[0::2],)),
+        threading.Thread(target=producer, args=(bids[1::2],)),
+    ]
+    for th in threads:
+        th.start()
+    # live tail racing the producers, bounded by timeout; then drain
+    tail_lake_events(spark, inbox, table, None, "race-tail", ckpt,
+                     max_snapshots_per_trigger=2, trigger="1 seconds",
+                     timeout_sec=12)
+    for th in threads:
+        th.join(timeout=120)
+        assert not th.is_alive(), "producer wedged"
+    assert not prod_errs, prod_errs
+    assert inbox.read().count() == events.count()  # all commits landed
+    # final availableNow drain from the same checkpoint: exactly-once resume
+    tail_lake_events(spark, inbox, table, None, "race-tail", ckpt,
+                     max_snapshots_per_trigger=2)
+    _check_final(table, events)
