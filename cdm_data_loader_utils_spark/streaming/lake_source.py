@@ -58,6 +58,7 @@ implements this; cdm-data-loader-utils delegates to Delta's JVM source.]
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 from pyspark.sql import types as T
@@ -98,12 +99,16 @@ def _meta_table(path: str) -> LakeTable:
     return LakeTable(None, _local_path(path), fs=LocalFilesystem())
 
 
+# diagnostic hook for drain-stall hunts: armed once at import (the env var
+# is inherited by executor workers at fork), so the latestOffset/partitions
+# hot path pays a single falsy check per call instead of an os.environ read
+_TRACE_FILE = os.environ.get("LAKE_SOURCE_TRACE")
+
+
 def _trace(msg: str) -> None:
-    import os as _os
-    tf = _os.environ.get("LAKE_SOURCE_TRACE")
-    if tf:
-        with open(tf, "a") as f:
-            f.write(f"pid={_os.getpid()} {msg}\n")
+    if _TRACE_FILE:
+        with open(_TRACE_FILE, "a") as f:
+            f.write(f"pid={os.getpid()} {msg}\n")
 
 
 def _opt(options: dict, name: str, default: str | None = None) -> str | None:
