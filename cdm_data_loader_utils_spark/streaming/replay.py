@@ -59,59 +59,69 @@ class BatchResult:
     snapshot_id: int | None
 
 
-def apply_batch(
+@dataclass
+class _PreparedBatch:
+    """Result of the table-state-independent half of a micro-batch: the
+    validated + LWW-deduped frame (persisted) plus its lineage/tally
+    numbers. Computable for batch N+1 while batch N is still merging —
+    it derives only from the event stream, never from the target table
+    (the bucket hint carries the bucket_count it was computed under, and
+    the merge re-validates it against the CURRENT snapshot)."""
+
+    deduped: DataFrame
+    annotated: DataFrame
+    lineage: list[tuple[int, int, int]]
+    rows_read: int
+    rows_valid: int
+    bucket_count: int | None
+
+    def release(self) -> None:
+        self.deduped.unpersist()
+
+
+def prepare_batch(
     events: DataFrame,
     table: LakeTable,
-    audit: AuditStore | None,
-    run_id: str,
     batch_id: int,
-    salt_buckets: int = 32,
-) -> BatchResult:
-    """Apply one micro-batch idempotently. Safe to call twice with the same
-    (run_id, batch_id): the second call is fenced out by the snapshot log.
+) -> _PreparedBatch:
+    """validate → tally → salted-free LWW dedup → lineage: everything a
+    micro-batch needs BEFORE it looks at the target table. Split out of
+    :func:`apply_batch` (r7) so a replay driver can overlap batch N+1's
+    dedup/lineage jobs with batch N's merge+commit — the two stages touch
+    disjoint inputs, and Spark's FIFO scheduler back-fills the merge's
+    straggler tail with the next batch's scan tasks (guide §2.6)."""
+    from pyspark.sql import Observation
 
-    ``salt_buckets`` is kept for API stability but unused by the default
-    dedup: :func:`lww_dedup_agg`'s map-side partial aggregation already
-    neutralizes hot keys, so no explicit salting pass is needed (swap in
-    ``lww_dedup_salted`` here to compare strategies)."""
-    fence_key = f"{run_id}:{batch_id}"
-    fenced = table.is_fenced(fence_key)
-    if fenced is not None:
-        return BatchResult(batch_id, True, 0, 0, 0, 0, None, fenced)
+    annotated = annotate_errors(events, change_event_checks())
+    # batch tallies ride along the dedup materialization as an
+    # Observation instead of a separate full scan (reference metrics
+    # pattern, audit/metrics.py:60-65, without the extra pass)
+    obs = Observation(f"batch-{batch_id}")
+    observed = annotated.observe(
+        obs,
+        F.count(F.lit(1)).alias("read"),
+        F.sum((F.size(ROW_ERRORS_COL) == 0).cast("long")).alias("valid"),
+    )
+    valid = observed.filter(F.size(ROW_ERRORS_COL) == 0).drop(ROW_ERRORS_COL)
 
-    persisted = []
+    # skew-proof last-writer-wins: one surviving event per (conv_id,
+    # turn_idx) under total order (lsn desc, ts desc, op desc) — hash
+    # aggregate with map-side combine, so hot keys collapse before the
+    # shuffle (no salting pass needed); pinned — the merge consumes it
+    # for bucket pruning, probing and the rewrite
+    deduped = lww_dedup_agg(valid, KEY_COLS, ORDER_COLS).persist()
     try:
-        from pyspark.sql import Observation
-
-        annotated = annotate_errors(events, change_event_checks())
-        # batch tallies ride along the dedup materialization as an
-        # Observation instead of a separate full scan (reference metrics
-        # pattern, audit/metrics.py:60-65, without the extra pass)
-        obs = Observation(f"batch-{batch_id}")
-        observed = annotated.observe(
-            obs,
-            F.count(F.lit(1)).alias("read"),
-            F.sum((F.size(ROW_ERRORS_COL) == 0).cast("long")).alias("valid"),
-        )
-        valid = observed.filter(F.size(ROW_ERRORS_COL) == 0).drop(ROW_ERRORS_COL)
-
-        # skew-proof last-writer-wins: one surviving event per (conv_id,
-        # turn_idx) under total order (lsn desc, ts desc, op desc) — hash
-        # aggregate with map-side combine, so hot keys collapse before the
-        # shuffle (no salting pass needed); pinned — the merge consumes it
-        # for bucket pruning, probing and the rewrite
-        deduped = lww_dedup_agg(valid, KEY_COLS, ORDER_COLS).persist()
-        persisted.append(deduped)
-
         # per-partition lineage: stats per target bucket (north rule); tiny
         # result (≤ bucket_count rows), single shuffle over the deduped
         # batch. This is also the first action: it fills the Observation.
         snap = table.snapshot()
         if snap.get("bucket_by"):
+            bucket_count = int(snap["bucket_count"])
             part = F.pmod(
-                F.xxhash64(F.col(snap["bucket_by"])), F.lit(int(snap["bucket_count"]))
+                F.xxhash64(F.col(snap["bucket_by"])), F.lit(bucket_count)
             ).cast("int")
         else:
+            bucket_count = None
             part = F.lit(0)
         lineage = [
             (int(r["pid"]), int(r["applied"]), int(r["wm"]))
@@ -132,6 +142,49 @@ def apply_batch(
             # path pays the extra scan).
             rows_read = annotated.count()
             rows_valid = valid.count()
+    except BaseException:
+        deduped.unpersist()
+        raise
+    return _PreparedBatch(
+        deduped, annotated, lineage, rows_read, rows_valid, bucket_count
+    )
+
+
+def apply_batch(
+    events: DataFrame,
+    table: LakeTable,
+    audit: AuditStore | None,
+    run_id: str,
+    batch_id: int,
+    salt_buckets: int = 32,
+    prepared: _PreparedBatch | None = None,
+) -> BatchResult:
+    """Apply one micro-batch idempotently. Safe to call twice with the same
+    (run_id, batch_id): the second call is fenced out by the snapshot log.
+
+    ``salt_buckets`` is kept for API stability but unused by the default
+    dedup: :func:`lww_dedup_agg`'s map-side partial aggregation already
+    neutralizes hot keys, so no explicit salting pass is needed (swap in
+    ``lww_dedup_salted`` here to compare strategies).
+
+    ``prepared`` (optional) is a :class:`_PreparedBatch` for THESE events a
+    pipelined driver computed ahead of time; ownership transfers here (its
+    persisted frame is released on every path, including the fenced skip)."""
+    fence_key = f"{run_id}:{batch_id}"
+    fenced = table.is_fenced(fence_key)
+    if fenced is not None:
+        if prepared is not None:
+            prepared.release()
+        return BatchResult(batch_id, True, 0, 0, 0, 0, None, fenced)
+
+    persisted = []
+    try:
+        prep = prepared if prepared is not None else prepare_batch(
+            events, table, batch_id
+        )
+        persisted.append(prep.deduped)
+        deduped, annotated, lineage = prep.deduped, prep.annotated, prep.lineage
+        rows_read, rows_valid = prep.rows_read, prep.rows_valid
         rows_invalid = rows_read - rows_valid
         if audit is not None and rows_invalid:
             # invalid rows exist: pay the second scan only in that case
@@ -141,7 +194,10 @@ def apply_batch(
         watermark = max((w for _, _, w in lineage), default=None)
         # the lineage partitions ARE the table buckets (same hash expr), so
         # the merge can skip its own touched-bucket discovery job
-        touched = {pid for pid, _, _ in lineage} if snap.get("bucket_by") else None
+        touched = (
+            {pid for pid, _, _ in lineage}
+            if prep.bucket_count is not None else None
+        )
 
         snapshot_id = table.merge_cdc(
             deduped,
@@ -151,9 +207,7 @@ def apply_batch(
             touched_buckets=touched,
             # the bucket_count the lineage hash used — a concurrent
             # re-bucket invalidates the hint and the merge recomputes
-            touched_buckets_count=(
-                int(snap["bucket_count"]) if snap.get("bucket_by") else None
-            ),
+            touched_buckets_count=prep.bucket_count,
             incoming_rows=rows_applied,
             summary={
                 "run_id": run_id,
@@ -199,6 +253,15 @@ def replay_batches(
     ``drop_tool_below_batch`` simulates the schema-evolution wave: earlier
     batches are delivered without the ``tool`` column at all, so the first
     post-wave batch triggers live schema evolution inside MERGE.
+
+    Pipelined (r7): while batch N merges+commits, batch N+1's
+    table-state-independent half (:func:`prepare_batch` — validate, tally,
+    LWW dedup, lineage) runs from a single helper driver thread, so its
+    scan/shuffle tasks back-fill the executor slots the merge's straggler
+    tail leaves idle (guide §2.6). Commits stay strictly serial — the merge
+    for N+1 starts only after N returns — so exactly-once fencing, LSN
+    ordering and failure semantics are unchanged; a prepared batch that
+    ends up fenced or unused is released, never applied.
     """
     batch_ids = [
         int(r[0]) for r in events.select("batch_id").distinct().orderBy("batch_id").collect()
@@ -212,21 +275,58 @@ def replay_batches(
     # audit/run.py:33-114 lifecycle around the batch loop)
     if audit is not None:
         audit.start_run(run_id)
-    results = []
+
+    def batch_frame(bid: int) -> DataFrame:
+        b = events.filter(F.col("batch_id") == bid)
+        if drop_tool_below_batch is not None and bid < drop_tool_below_batch:
+            b = b.drop("tool")
+        return b
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [bid for bid in batch_ids if bid > start_after]
+    results: list[BatchResult] = []
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending: tuple[int, object] | None = None  # (batch_id, Future)
     try:
-        for bid in batch_ids:
-            if bid <= start_after:
-                continue
-            batch = events.filter(F.col("batch_id") == bid)
-            if drop_tool_below_batch is not None and bid < drop_tool_below_batch:
-                batch = batch.drop("tool")
+        for i, bid in enumerate(todo):
+            prep = None
+            if pending is not None and pending[0] == bid:
+                prep = pending[1].result()
+                pending = None
+            # prefetch the NEXT batch's dedup/lineage while THIS batch
+            # merges (one ahead: bounds cached state to a single batch).
+            # Already-fenced batches are NOT prefetched — a resumed run
+            # must stay metadata-only for its skipped prefix (the fence is
+            # re-checked authoritatively inside apply_batch/merge either
+            # way; this probe only avoids wasted dedup work)
+            if i + 1 < len(todo):
+                nxt = todo[i + 1]
+                if table.is_fenced(f"{run_id}:{nxt}") is None:
+                    pending = (
+                        nxt,
+                        pool.submit(
+                            prepare_batch, batch_frame(nxt), table, nxt
+                        ),
+                    )
             results.append(
-                apply_batch(batch, table, audit, run_id, bid, salt_buckets)
+                apply_batch(
+                    batch_frame(bid), table, audit, run_id, bid,
+                    salt_buckets, prepared=prep,
+                )
             )
     except Exception as e:
         if audit is not None:
             audit.fail_run(run_id, str(e)[:512])
         raise
+    finally:
+        # an unconsumed prefetch (failure mid-loop) must not stay pinned
+        if pending is not None:
+            try:
+                pending[1].result().release()
+            except Exception:  # noqa: BLE001 — prefetch failed; nothing pinned
+                pass
+        pool.shutdown(wait=True)
     if audit is not None:
         audit.complete_run(run_id)
     return results
