@@ -109,5 +109,30 @@ def _warm_session(session: SparkSession) -> None:
         # Arrow serialization + Python worker pool (pandas UDF path)
         f = F.pandas_udf(lambda s: s, "long")
         session.range(8).select(f("id")).collect()
+        # Unicode-regex + sha2 expression path: the first evaluation of a
+        # \p{L}/\p{N} pattern loads the JVM's Unicode property tables and
+        # compiles the codegen'd digest pipeline (~1.5 s, once per JVM) —
+        # exercised here on 8 synthetic rows so the first real
+        # normalize/fingerprint query doesn't pay it (collect, not count:
+        # count() would prune the projection away)
+        r8 = session.range(8).select(
+            F.col("id"), F.col("id").cast("string").alias("s")
+        )
+        r8.select(
+            F.sha2(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.col("s")), r"[^\p{L}\p{N}]+", " "
+                    )
+                ),
+                256,
+            )
+        ).collect()
+        # min_by/max_by over a struct payload: first use initializes the
+        # object-hash-aggregate codepath (~0.5 s) used by exact_dedup and
+        # the LWW aggregate
+        r8.groupBy((F.col("id") % 2).alias("g")).agg(
+            F.min_by(F.struct("id", "s"), F.col("id")).alias("__r")
+        ).select("__r.*").collect()
     except Exception:  # noqa: BLE001 — warm-up must never fail a session
         pass
