@@ -2278,8 +2278,16 @@ class LakeTable:
         if affected:
             tgt_rows = self._read_files(snap, affected, with_file_col=False)
             tgt_rows = _align_to_schema(tgt_rows, full_schema)
+            # bucketed tables only: their write re-clusters by bucket, so
+            # the decision path's shuffle-free union still lands as one
+            # file set per bucket. On an UNBUCKETED table `_write_files`
+            # writes the input partitioning as-is — the join path's
+            # post-shuffle partition count gives bounded file counts, the
+            # decision union's (scan partitions + source partitions) does
+            # not.
             decision = (
-                incoming_rows is not None
+                bucket is not None
+                and incoming_rows is not None
                 and DECISION_MERGE_MIN_ROWS
                 <= incoming_rows
                 <= BROADCAST_PROBE_MAX_ROWS
